@@ -1,0 +1,312 @@
+"""Index build pipeline — the Ray-Data-native equivalent of the reference's
+``IndexWriter.addDocument`` internals (reference:
+src/main/java/indexing/MsMarcoIndexer.java:48-90, where tokenization,
+in-memory segment build, flush and merge all happen inside Lucene).
+
+Dataflow (SURVEY.md §3.1, operators I1-I7)::
+
+    corpus parquet ──map_batches(TokenizeStage)──► staged/part=<pid>/kind={p,m}
+        (per build partition; per-partition sha256 lineage in manifest)
+    staged kind=m ──aggregate──► stats.json  (N, total_len → avgdl)
+    staged kind=p ──map_batches(shard+salt)──groupby(gkey)──map_groups(encode)──►
+        term runs ──[groupby(shard)──map_groups(concat salt runs)]──►
+        segments/shard=K/*.parquet   (block-local varbyte postings + block-max)
+
+Shuffle inventory: exactly ONE all-to-all exchange over the postings
+(``groupby(gkey)``); the optional second exchange moves only compressed runs
+and only exists when salting was active (more than one doc-range bucket).
+Skew: heavy terms are split across salt buckets — the per-group memory bound
+is ``(vocab slice) × salt_docs_per_bucket`` postings, independent of any one
+term's df (SURVEY.md I6).
+
+Resumability: tokenize partitions are skipped when their lineage sha matches
+(manifest); segment writes go to a temp dir then rename (idempotent).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from zlib import crc32
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..config import EngineConfig
+from ..stages.tokenize import TokenizeStage
+from .codec import TermPostings, concat_runs, encode_term_postings
+from .manifest import Manifest, combine_hashes
+
+SEGMENT_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("shard", pa.int32()),
+    ("df", pa.int64()),
+    ("cf", pa.int64()),
+    ("doc_bytes", pa.large_binary()),
+    ("tf_bytes", pa.large_binary()),
+    ("b_count", pa.list_(pa.int32())),
+    ("b_first", pa.list_(pa.int64())),
+    ("b_last", pa.list_(pa.int64())),
+    ("b_max_tf", pa.list_(pa.int32())),
+    ("b_min_dl", pa.list_(pa.int32())),
+    ("b_doc_off", pa.list_(pa.int64())),
+    ("b_tf_off", pa.list_(pa.int64())),
+])
+
+
+def term_shard(term: str, num_shards: int) -> int:
+    return crc32(term.encode("utf-8")) % num_shards
+
+
+def _list_array(arrays: list[np.ndarray], dtype: pa.DataType) -> pa.ListArray:
+    lens = np.fromiter((len(a) for a in arrays), dtype=np.int64, count=len(arrays))
+    offsets = np.zeros(len(arrays) + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    values = np.concatenate(arrays) if arrays else np.empty(0)
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                    pa.array(values, type=dtype))
+
+
+def rows_to_segment_table(terms: list[str], shards: np.ndarray,
+                          tps: list[TermPostings]) -> pa.Table:
+    return pa.Table.from_arrays([
+        pa.array(terms, type=pa.string()),
+        pa.array(shards.astype(np.int32)),
+        pa.array(np.fromiter((t.df for t in tps), np.int64, len(tps))),
+        pa.array(np.fromiter((t.cf for t in tps), np.int64, len(tps))),
+        pa.array([t.doc_bytes for t in tps], type=pa.large_binary()),
+        pa.array([t.tf_bytes for t in tps], type=pa.large_binary()),
+        _list_array([t.b_count for t in tps], pa.int32()),
+        _list_array([t.b_first for t in tps], pa.int64()),
+        _list_array([t.b_last for t in tps], pa.int64()),
+        _list_array([t.b_max_tf for t in tps], pa.int32()),
+        _list_array([t.b_min_dl for t in tps], pa.int32()),
+        _list_array([t.b_doc_off for t in tps], pa.int64()),
+        _list_array([t.b_tf_off for t in tps], pa.int64()),
+    ], schema=SEGMENT_SCHEMA)
+
+
+def term_postings_from_row(row: dict) -> TermPostings:
+    return TermPostings(
+        df=int(row["df"]), cf=int(row["cf"]),
+        doc_bytes=row["doc_bytes"], tf_bytes=row["tf_bytes"],
+        b_count=np.asarray(row["b_count"], np.int32),
+        b_first=np.asarray(row["b_first"], np.int64),
+        b_last=np.asarray(row["b_last"], np.int64),
+        b_max_tf=np.asarray(row["b_max_tf"], np.int32),
+        b_min_dl=np.asarray(row["b_min_dl"], np.int32),
+        b_doc_off=np.asarray(row["b_doc_off"], np.int64),
+        b_tf_off=np.asarray(row["b_tf_off"], np.int64),
+    )
+
+
+class _AddGroupKey:
+    """postings batch → + gkey = shard * n_salt + salt (vectorized: terms are
+    factorized per batch, crc32 touches unique terms only)."""
+
+    def __init__(self, num_shards: int, bucket: int, n_salt: int):
+        self.S, self.bucket, self.n_salt = num_shards, bucket, n_salt
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        codes, uniq = pd.factorize(df["term"])
+        S = self.S
+        shard_u = np.fromiter((crc32(t.encode("utf-8")) % S for t in uniq),
+                              np.int64, len(uniq))
+        salt = df["doc_id"].to_numpy() // self.bucket
+        df = df.copy()
+        df["gkey"] = shard_u[codes] * self.n_salt + salt
+        return df
+
+
+class _EncodeGroup:
+    """All postings of one (shard, salt) group → encoded term-run rows."""
+
+    __name__ = "encode_group"  # map_groups wraps plain functions; give a name
+
+    def __init__(self, block_size: int, n_salt: int):
+        self.block_size, self.n_salt = block_size, n_salt
+
+    def __call__(self, g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return rows_to_segment_table([], np.empty(0), [])
+        shard = int(g["gkey"].iloc[0]) // self.n_salt
+        codes, uniq = pd.factorize(g["term"])
+        doc = g["doc_id"].to_numpy()
+        tf = g["tf"].to_numpy()
+        dl = g["dl"].to_numpy()
+        order = np.lexsort((doc, codes))
+        codes, doc, tf, dl = codes[order], doc[order], tf[order], dl[order]
+        bounds = np.concatenate((
+            [0], np.flatnonzero(codes[1:] != codes[:-1]) + 1, [len(codes)]))
+        terms, tps = [], []
+        for i in range(len(bounds) - 1):
+            s, e = bounds[i], bounds[i + 1]
+            terms.append(uniq[codes[s]])
+            tps.append(encode_term_postings(doc[s:e], tf[s:e], dl[s:e],
+                                            self.block_size))
+        return rows_to_segment_table(terms, np.full(len(terms), shard), tps)
+
+
+class _MergeShardRuns:
+    """All term runs of one shard → one row per term (concat salt runs)."""
+
+    __name__ = "merge_shard_runs"
+
+    def __call__(self, g: pd.DataFrame) -> pa.Table:
+        codes, uniq = pd.factorize(g["term"])
+        terms, tps = [], []
+        for code in range(len(uniq)):
+            rows = g.iloc[np.flatnonzero(codes == code)]
+            runs = [term_postings_from_row(r) for r in rows.to_dict("records")]
+            terms.append(uniq[code])
+            tps.append(concat_runs(runs))
+        shard = int(g["shard"].iloc[0]) if len(g) else 0
+        return rows_to_segment_table(terms, np.full(len(terms), shard), tps)
+
+
+def pads_dirs(dirs: list[str]) -> pads.Dataset:
+    """pyarrow dataset over a list of directories (pads.dataset() itself only
+    accepts one dir, or a list of files/datasets)."""
+    if len(dirs) == 1:
+        return pads.dataset(dirs[0])
+    return pads.dataset([pads.dataset(d) for d in dirs])
+
+
+def expand_parquet_files(dirs: list[str]) -> list[str]:
+    """List of dirs → flat sorted list of parquet files (ray.data.read_parquet
+    accepts a single dir but not a list of dirs)."""
+    out: list[str] = []
+    for d in dirs:
+        for root, _, fs in os.walk(d):
+            out.extend(os.path.join(root, f) for f in fs if f.endswith(".parquet"))
+    return sorted(out)
+
+
+def _staged_dirs(out_dir: str, kind: str) -> list[str]:
+    base = os.path.join(out_dir, "staged")
+    if not os.path.isdir(base):
+        return []
+    return sorted(
+        os.path.join(base, p, f"kind={kind}")
+        for p in os.listdir(base)
+        if p.startswith("part=") and os.path.isdir(os.path.join(base, p, f"kind={kind}"))
+    )
+
+
+def build_index(
+    source,
+    out_dir: str,
+    cfg: EngineConfig = EngineConfig(),
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_col: str | None = None,
+    partitions: list[tuple[str, "rd.Dataset"]] | None = None,
+    resume: bool = True,
+) -> dict:
+    """Build an inverted index under ``out_dir``.
+
+    ``source``: a ``ray.data.Dataset`` (single build partition) — or pass
+    ``partitions`` as ``[(partition_id, dataset), ...]`` for per-partition
+    resumable builds (one entry per input shard; SURVEY.md I7).
+    Returns the stats dict (also persisted to ``stats.json``).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    man = Manifest(os.path.join(out_dir, "manifest.json"))
+    params = {
+        "analyzer": cfg.analyzer, "normalize_numbers": cfg.normalize_numbers,
+        "stopword_file": cfg.stopword_file, "block_size": cfg.block_size,
+        "num_shards": cfg.num_shards,
+        "salt_docs_per_bucket": cfg.salt_docs_per_bucket,
+        "text_col": text_col, "id_col": id_col,
+    }
+    if not resume:
+        for sub in ("staged", "segments"):
+            shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+        man.data = {"params": None, "partitions": {},
+                    "merge": {"status": "pending"}, "stats": None}
+    man.set_params(params)
+
+    if partitions is None:
+        partitions = [("all", source)]
+
+    # ---- stage A: tokenize per partition (resumable) ----
+    staged_base = os.path.join(out_dir, "staged")
+    for pid, ds in partitions:
+        if man.partition_done(pid):
+            continue
+        part_dir = os.path.join(staged_base, f"part={pid}")
+        tmp_dir = part_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(part_dir, ignore_errors=True)
+        tok = ds.map_batches(
+            TokenizeStage(cfg, text_col=text_col, id_col=id_col, key_col=key_col),
+            batch_format="pyarrow", batch_size=cfg.tokenize_batch_size,
+            concurrency=cfg.tokenize_concurrency)
+        tok.write_parquet(tmp_dir, partition_cols=["kind"])
+        os.replace(tmp_dir, part_dir)
+        # lineage: order-independent combination of the per-row content hashes
+        meta = pads.dataset(os.path.join(part_dir, "kind=m")).to_table(
+            columns=["sha256"])
+        sha = combine_hashes(meta["sha256"].to_pylist())
+        man.mark_partition(pid, sha, meta.num_rows, [])
+        man.save()
+
+    # ---- global stats (I4) ----
+    meta_dirs = _staged_dirs(out_dir, "m")
+    meta_ds = pads_dirs(meta_dirs)
+    ndocs = meta_ds.count_rows()
+    total_len = 0
+    for b in meta_ds.to_batches(columns=["dl"]):
+        total_len += int(np.sum(b["dl"].to_numpy(zero_copy_only=False)))
+    avgdl = (total_len / ndocs) if ndocs else 0.0
+    n_salt = max(1, int(np.ceil(ndocs / cfg.salt_docs_per_bucket))) if ndocs else 1
+
+    stats = {
+        "num_docs": int(ndocs), "total_len": int(total_len), "avgdl": avgdl,
+        "num_shards": cfg.num_shards, "n_salt": int(n_salt),
+        "block_size": cfg.block_size, "analyzer": cfg.analyzer,
+        "normalize_numbers": cfg.normalize_numbers,
+        "stopword_file": cfg.stopword_file,
+    }
+
+    # ---- stage C/D: shuffle-merge postings into segments ----
+    seg_dir = os.path.join(out_dir, "segments")
+    if not (man.merge_done and os.path.isdir(seg_dir)):
+        seg_tmp = seg_dir + ".tmp"
+        shutil.rmtree(seg_tmp, ignore_errors=True)
+        shutil.rmtree(seg_dir, ignore_errors=True)
+        post = rd.read_parquet(expand_parquet_files(_staged_dirs(out_dir, "p")),
+                               columns=["term", "doc_id", "tf", "dl"])
+        post = post.map_batches(
+            _AddGroupKey(cfg.num_shards, cfg.salt_docs_per_bucket, n_salt),
+            batch_format="pandas")
+        runs = post.groupby("gkey").map_groups(
+            _EncodeGroup(cfg.block_size, n_salt), batch_format="pandas")
+        if n_salt > 1:
+            runs = runs.groupby("shard").map_groups(
+                _MergeShardRuns(), batch_format="pandas")
+        runs.write_parquet(seg_tmp, partition_cols=["shard"])
+        os.replace(seg_tmp, seg_dir)
+        # cheap metrics from parquet footers only
+        n_terms = sum(
+            pq.read_metadata(os.path.join(root, f)).num_rows
+            for root, _, fs in os.walk(seg_dir) for f in fs
+            if f.endswith(".parquet"))
+        man.mark_merge(cfg.num_shards, {"num_terms": int(n_terms)})
+        stats["num_terms"] = int(n_terms)
+    else:
+        prior = man.data.get("stats") or {}
+        if "num_terms" in prior:
+            stats["num_terms"] = prior["num_terms"]
+
+    man.set_stats(stats)
+    man.save()
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    return stats

@@ -1,27 +1,30 @@
-"""Posting-list codec: delta-gap + variable-byte compression with per-block
-block-max metadata.
+"""Posting-list codec: block-local delta-gap + variable-byte compression with
+per-block block-max metadata.
 
 The reference delegates all of this to Lucene's internal postings format
 (reference: src/main/java/indexing/MsMarcoIndexer.java:83 — addDocument is
-where control crosses into Lucene). Per the north rule we build it explicitly:
+where control crosses into Lucene). Per the north rule we build it explicitly.
 
-* doc ids sorted ascending, encoded as deltas (first id absolute), varbyte;
-* term frequencies encoded varbyte in a parallel stream;
-* per block of ``block_size`` postings we keep ``(last_doc, max_tf, min_dl)``
-  — enough to compute a similarity-agnostic upper bound at query time for
-  block-max WAND (Ding & Suel, SIGIR 2011): BM25 tf-norm is increasing in tf
-  and decreasing in doc length, so (max_tf, min_dl) bounds the block for ANY
-  (k1, b), the same trick Lucene 8 uses with (tf, norm) impact pairs.
+Layout — postings are split into blocks of ≤ ``block_size`` docs; each block is
+**self-contained**: its first doc id lives in metadata (``b_first``) and the
+byte stream holds only the ``count-1`` in-block deltas (varbyte). Consequences:
 
-Everything is numpy-vectorized: encode/decode touch no Python loop over
-postings (only a loop over byte-position ≤ 10, and over blocks for metadata).
+* merging two salt-bucket runs of one term (disjoint, ordered doc ranges —
+  SURVEY.md I6 stage 2) is a pure metadata/bytes concatenation, no decode;
+* block-max WAND can skip a block without touching its bytes, using
+  ``(b_last, b_max_tf, b_min_dl)`` — BM25's tf-norm is increasing in tf and
+  decreasing in doc length, so (max_tf, min_dl) upper-bounds the block for ANY
+  (k1, b), the same trick as Lucene 8's (tf, norm) impact pairs
+  (Ding & Suel, "Faster top-k document retrieval using block-max indexes",
+  SIGIR 2011).
 
-Varbyte layout: little-endian 7-bit groups; high bit set ⇒ more bytes follow.
+Varbyte: little-endian 7-bit groups; high bit set ⇒ more bytes follow.
+Everything is numpy-vectorized; no Python loop over postings.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -31,21 +34,19 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # bytes needed per value: ceil(bit_length/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
+    # 7-bit groups needed per value (min 1)
+    ngroups = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
     while True:
         nz = tmp > 0
         if not nz.any():
             break
-        nbits[nz] += 1
+        ngroups[nz] += 1
         tmp >>= np.uint64(7)
-    nbytes = np.maximum(nbits, 1)
+    nbytes = np.maximum(ngroups, 1)
     offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-    total = int(nbytes.sum())
-    out = np.zeros(total, dtype=np.uint8)
-    maxb = int(nbytes.max())
-    for k in range(maxb):
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    for k in range(int(nbytes.max())):
         sel = nbytes > k
         byte = (v[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)
         cont = (nbytes[sel] - 1) > k
@@ -59,16 +60,16 @@ def varbyte_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndar
     if b.size == 0:
         return np.empty(0, dtype=np.int64)
     terminal = b < 128
-    # value index per byte: 0-based, increments after each terminal byte
-    vidx = np.concatenate(([0], np.cumsum(terminal)[:-1].astype(np.int64)))
     nvals = int(terminal.sum())
-    if nvals == 0 or terminal[-1] != True:  # noqa: E712 — np.bool_
+    if nvals == 0 or not terminal[-1]:
         raise ValueError("truncated varbyte stream (no terminal byte at end)")
-    # byte position within its value
+    # value index per byte, position of byte within its value
+    vidx = np.concatenate(([0], np.cumsum(terminal)[:-1].astype(np.int64)))
     starts = np.flatnonzero(np.concatenate(([True], terminal[:-1])))
     pos = np.arange(b.size, dtype=np.int64) - starts[vidx]
     out = np.zeros(nvals, dtype=np.uint64)
-    np.bitwise_or.at(out, vidx, (b & np.uint8(0x7F)).astype(np.uint64) << (7 * pos).astype(np.uint64))
+    np.bitwise_or.at(out, vidx,
+                     (b & np.uint8(0x7F)).astype(np.uint64) << (7 * pos).astype(np.uint64))
     res = out.astype(np.int64)
     if count is not None and res.size != count:
         raise ValueError(f"decoded {res.size} values, expected {count}")
@@ -76,80 +77,147 @@ def varbyte_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndar
 
 
 @dataclass
-class EncodedPostings:
-    """One term's (or one salt-bucket's) encoded postings."""
+class TermPostings:
+    """One term's encoded postings (possibly the concat of several salt runs)."""
     df: int
     cf: int
-    doc_bytes: bytes        # delta-gap varbyte of sorted doc ids
-    tf_bytes: bytes         # varbyte of tfs (parallel order)
-    first_doc: int
-    last_doc: int
-    block_last_doc: np.ndarray   # int64 per block
-    block_max_tf: np.ndarray     # int32 per block
-    block_min_dl: np.ndarray     # int32 per block
+    doc_bytes: bytes              # concat of per-block delta streams
+    tf_bytes: bytes               # concat of per-block tf streams
+    b_count: np.ndarray           # int32  docs per block
+    b_first: np.ndarray           # int64  first doc id per block
+    b_last: np.ndarray           # int64  last doc id per block
+    b_max_tf: np.ndarray          # int32  max tf per block
+    b_min_dl: np.ndarray          # int32  min doc length per block
+    b_doc_off: np.ndarray         # int64  byte offset of block in doc_bytes
+    b_tf_off: np.ndarray          # int64  byte offset of block in tf_bytes
 
 
-def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray,
-                    block_size: int = 128) -> EncodedPostings:
-    """Encode one term's postings. Inputs need not be sorted; sorted by doc id
-    here (tie-impossible: one posting per (term, doc))."""
+def encode_term_postings(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray,
+                         block_size: int = 128) -> TermPostings:
+    """Encode one term's postings (inputs sorted here by doc id)."""
     order = np.argsort(doc_ids, kind="stable")
     d = np.asarray(doc_ids, dtype=np.int64)[order]
     t = np.asarray(tfs, dtype=np.int64)[order]
     dl = np.asarray(doc_lens, dtype=np.int64)[order]
-    deltas = np.empty_like(d)
-    deltas[0] = d[0]
-    np.subtract(d[1:], d[:-1], out=deltas[1:])
-    if d.size > 1 and deltas[1:].min() <= 0:
-        raise ValueError("duplicate doc id in postings for one term")
     n = d.size
-    nblocks = (n + block_size - 1) // block_size
-    # block reductions via ufunc.reduceat (vectorized over blocks)
-    bstarts = np.arange(0, n, block_size, dtype=np.int64)
-    block_last = d[np.minimum(bstarts + block_size - 1, n - 1)]
-    block_max_tf = np.maximum.reduceat(t, bstarts).astype(np.int32)
-    block_min_dl = np.minimum.reduceat(dl, bstarts).astype(np.int32)
-    assert block_last.size == nblocks
-    return EncodedPostings(
+    if n == 0:
+        raise ValueError("empty postings")
+    if n > 1 and (d[1:] <= d[:-1]).any():
+        raise ValueError("duplicate doc id in postings for one term")
+
+    starts = np.arange(0, n, block_size, dtype=np.int64)
+    ends = np.minimum(starts + block_size, n)
+    counts = (ends - starts).astype(np.int32)
+    firsts = d[starts]
+    lasts = d[ends - 1]
+    max_tf = np.maximum.reduceat(t, starts).astype(np.int32)
+    min_dl = np.minimum.reduceat(dl, starts).astype(np.int32)
+
+    # in-block deltas: drop each block's first element from the delta stream
+    deltas_all = np.empty(n, dtype=np.int64)
+    deltas_all[0] = 0
+    np.subtract(d[1:], d[:-1], out=deltas_all[1:])
+    keep = np.ones(n, dtype=bool)
+    keep[starts] = False
+    deltas = deltas_all[keep]          # length n - nblocks
+
+    # per-block byte offsets: encode per block? no — encode whole streams,
+    # then compute offsets from per-value byte lengths (vectorized).
+    doc_bytes = varbyte_encode(deltas)
+    tf_bytes = varbyte_encode(t)
+    d_lens = _varbyte_lengths(deltas)
+    t_lens = _varbyte_lengths(t)
+    # delta-count per block = count - 1
+    dcounts = counts.astype(np.int64) - 1
+    d_cum = np.concatenate(([0], np.cumsum(d_lens)))
+    t_cum = np.concatenate(([0], np.cumsum(t_lens)))
+    d_start_idx = np.concatenate(([0], np.cumsum(dcounts)[:-1]))
+    b_doc_off = d_cum[d_start_idx]
+    b_tf_off = t_cum[starts]
+
+    return TermPostings(
         df=int(n), cf=int(t.sum()),
-        doc_bytes=varbyte_encode(deltas), tf_bytes=varbyte_encode(t),
-        first_doc=int(d[0]), last_doc=int(d[-1]),
-        block_last_doc=block_last, block_max_tf=block_max_tf,
-        block_min_dl=block_min_dl,
+        doc_bytes=doc_bytes, tf_bytes=tf_bytes,
+        b_count=counts, b_first=firsts.astype(np.int64), b_last=lasts.astype(np.int64),
+        b_max_tf=max_tf, b_min_dl=min_dl,
+        b_doc_off=b_doc_off.astype(np.int64), b_tf_off=b_tf_off.astype(np.int64),
     )
 
 
-def decode_postings(doc_bytes: bytes, tf_bytes: bytes,
-                    df: int | None = None) -> tuple[np.ndarray, np.ndarray]:
-    """→ (doc_ids ascending, tfs)."""
-    deltas = varbyte_decode(doc_bytes, df)
-    tfs = varbyte_decode(tf_bytes, df)
-    return np.cumsum(deltas), tfs
+def _varbyte_lengths(values: np.ndarray) -> np.ndarray:
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    n = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        n[nz] += 1
+        tmp >>= np.uint64(7)
+    return np.maximum(n, 1)
 
 
-def merge_encoded_runs(runs: list[EncodedPostings], doc_lens_lookup=None,
-                       block_size: int = 128) -> EncodedPostings:
-    """Concatenate salt-bucket runs of ONE term whose doc-id ranges are
-    disjoint and ordered (SURVEY.md I6 stage 2). Decodes + re-encodes so block
-    boundaries stay uniform; cost is linear and confined to the (rare) salted
-    heavy terms."""
-    runs = sorted(runs, key=lambda r: r.first_doc)
+def concat_runs(runs: list[TermPostings]) -> TermPostings:
+    """Concatenate salt-bucket runs of ONE term with disjoint, ordered doc-id
+    ranges. Pure metadata + bytes concat — no decode (SURVEY.md I6 stage 2)."""
+    runs = sorted(runs, key=lambda r: int(r.b_first[0]))
     for a, b in zip(runs, runs[1:]):
-        if b.first_doc <= a.last_doc:
+        if int(b.b_first[0]) <= int(a.b_last[-1]):
             raise ValueError("salt-bucket doc ranges overlap")
-    docs, tfs, dls = [], [], []
+    if len(runs) == 1:
+        return runs[0]
+    doc_bytes = b"".join(r.doc_bytes for r in runs)
+    tf_bytes = b"".join(r.tf_bytes for r in runs)
+    d_off, t_off, parts_d, parts_t = 0, 0, [], []
     for r in runs:
-        d, t = decode_postings(r.doc_bytes, r.tf_bytes, r.df)
-        docs.append(d)
-        tfs.append(t)
-        # reconstruct per-posting doc lens from lookup for block metadata
-        if doc_lens_lookup is not None:
-            dls.append(doc_lens_lookup(d))
-    d = np.concatenate(docs)
-    t = np.concatenate(tfs)
-    if doc_lens_lookup is not None:
-        dl = np.concatenate(dls)
-    else:
-        # fall back: block min_dl recomputation impossible → conservative 1
-        dl = np.ones_like(d)
-    return encode_postings(d, t, dl, block_size)
+        parts_d.append(r.b_doc_off + d_off)
+        parts_t.append(r.b_tf_off + t_off)
+        d_off += len(r.doc_bytes)
+        t_off += len(r.tf_bytes)
+    return TermPostings(
+        df=sum(r.df for r in runs), cf=sum(r.cf for r in runs),
+        doc_bytes=doc_bytes, tf_bytes=tf_bytes,
+        b_count=np.concatenate([r.b_count for r in runs]),
+        b_first=np.concatenate([r.b_first for r in runs]),
+        b_last=np.concatenate([r.b_last for r in runs]),
+        b_max_tf=np.concatenate([r.b_max_tf for r in runs]),
+        b_min_dl=np.concatenate([r.b_min_dl for r in runs]),
+        b_doc_off=np.concatenate(parts_d),
+        b_tf_off=np.concatenate(parts_t),
+    )
+
+
+def decode_all(tp: TermPostings) -> tuple[np.ndarray, np.ndarray]:
+    """Decode every block → (doc_ids ascending within each run, tfs)."""
+    counts = tp.b_count.astype(np.int64)
+    n = int(counts.sum())
+    deltas = varbyte_decode(tp.doc_bytes, n - counts.size) if n > counts.size \
+        else np.empty(0, dtype=np.int64)
+    tfs = varbyte_decode(tp.tf_bytes, n)
+    # rebuild: arr holds first_doc at block starts, deltas elsewhere;
+    # docs = cumsum(arr) - repeat(cumsum_at_starts - firsts)
+    arr = np.empty(n, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    mask = np.ones(n, dtype=bool)
+    mask[starts] = False
+    arr[starts] = tp.b_first
+    arr[mask] = deltas
+    c = np.cumsum(arr)
+    docs = c - np.repeat(c[starts] - tp.b_first, counts)
+    return docs, tfs
+
+
+def decode_block(tp: TermPostings, i: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a single block (block-max WAND skip path)."""
+    cnt = int(tp.b_count[i])
+    d0 = int(tp.b_doc_off[i])
+    d1 = int(tp.b_doc_off[i + 1]) if i + 1 < len(tp.b_doc_off) else len(tp.doc_bytes)
+    t0 = int(tp.b_tf_off[i])
+    t1 = int(tp.b_tf_off[i + 1]) if i + 1 < len(tp.b_tf_off) else len(tp.tf_bytes)
+    deltas = varbyte_decode(tp.doc_bytes[d0:d1], cnt - 1) if cnt > 1 \
+        else np.empty(0, dtype=np.int64)
+    tfs = varbyte_decode(tp.tf_bytes[t0:t1], cnt)
+    docs = int(tp.b_first[i]) + np.concatenate(([0], np.cumsum(deltas)))
+    return docs, tfs

@@ -1,0 +1,225 @@
+"""Index reader + top-k retrieval.
+
+The reference opens one IndexSearcher shared by every operation (reference:
+src/main/java/retrieval/OneStepRetriever.java:34-45). Our equivalent
+(SURVEY.md T1) is an actor-pool stage: :class:`SearchStage` is a callable
+class used with ``map_batches(SearchStage, concurrency=N, batch_size=B)`` —
+the reader state (doc-length array, stats, term cache) is built once per actor
+in ``__init__``; each ``__call__`` scores a batch of queries.
+
+Scale model: queries are the distributed axis (each query is fully answered by
+one actor — no per-query merge shuffle); term postings are fetched on demand
+from the sharded segment parquet via predicate pushdown (only the query's
+terms' rows are read) and cached per actor. Heavy salted terms arrive as
+multiple block-runs concatenated at read time (codec.concat_runs — zero
+decode). The doc-length array is dense int32 indexed by doc id (dense ids via
+sources.corpus); at multi-node scale this array is the only per-actor
+footprint that grows with N (4 bytes/doc ⇒ 4 GB per 10^9 docs — sharded
+doc-partitioned search is the documented path beyond that).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from ..analysis import get_analyzer
+from ..index.build import pads_dirs, term_postings_from_row, term_shard
+from ..index.codec import TermPostings, concat_runs, decode_all
+from .scoring import make_scorer
+
+RUN_SCHEMA = pa.schema([
+    ("qid", pa.string()),
+    ("doc_id", pa.int64()),
+    ("rank", pa.int32()),
+    ("score", pa.float64()),
+])
+
+
+class IndexReader:
+    def __init__(self, index_dir: str, preload: bool = False):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.num_docs = int(self.stats["num_docs"])
+        self.avgdl = float(self.stats["avgdl"])
+        self.total_len = int(self.stats["total_len"])
+        self.num_shards = int(self.stats["num_shards"])
+        self._load_doc_lens()
+        self._cache: dict[str, TermPostings | None] = {}
+        self._preloaded = False
+        if preload:
+            self._preload_all()
+
+    # --- doc lengths (dense array) ---
+    def _load_doc_lens(self) -> None:
+        base = os.path.join(self.index_dir, "staged")
+        meta_dirs = sorted(
+            os.path.join(base, p, "kind=m") for p in os.listdir(base)
+            if p.startswith("part="))
+        t = pads_dirs(meta_dirs).to_table(columns=["doc_id", "dl"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        dls = t["dl"].to_numpy(zero_copy_only=False)
+        size = int(ids.max()) + 1 if len(ids) else 0
+        self._dl = np.zeros(size, dtype=np.int32)
+        self._dl[ids] = dls
+
+    def doc_len(self, doc_ids: np.ndarray) -> np.ndarray:
+        return self._dl[doc_ids]
+
+    # --- term postings ---
+    def _shard_dir(self, shard: int) -> str:
+        return os.path.join(self.index_dir, "segments", f"shard={shard}")
+
+    def _rows_to_cache(self, tbl: pa.Table) -> None:
+        by_term: dict[str, list[TermPostings]] = {}
+        for row in tbl.to_pylist():
+            by_term.setdefault(row["term"], []).append(term_postings_from_row(row))
+        for term, runs in by_term.items():
+            self._cache[term] = concat_runs(runs)
+
+    def _preload_all(self) -> None:
+        seg = os.path.join(self.index_dir, "segments")
+        if os.path.isdir(seg):
+            self._rows_to_cache(pads.dataset(seg).to_table())
+        self._preloaded = True
+
+    def prefetch(self, terms: list[str]) -> None:
+        """Batched fetch of missing terms, one filtered read per shard."""
+        if self._preloaded:
+            return
+        missing = sorted({t for t in terms if t not in self._cache})
+        if not missing:
+            return
+        by_shard: dict[int, list[str]] = {}
+        for t in missing:
+            by_shard.setdefault(term_shard(t, self.num_shards), []).append(t)
+        for shard, ts in by_shard.items():
+            d = self._shard_dir(shard)
+            if os.path.isdir(d):
+                tbl = pads.dataset(d).to_table(
+                    filter=pc.field("term").isin(ts))
+                self._rows_to_cache(tbl)
+        for t in missing:
+            self._cache.setdefault(t, None)  # df = 0 terms
+
+    def get_term(self, term: str) -> TermPostings | None:
+        if term not in self._cache:
+            self.prefetch([term])
+        return self._cache.get(term)
+
+
+def _topk_exact(doc_ids: np.ndarray, scores: np.ndarray, k: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k with (score desc, doc_id asc) tie-break — the Lucene
+    ordering (SURVEY.md R1). Boundary ties resolved by doc id, not partition
+    order, so results are deterministic at any parallelism."""
+    n = scores.size
+    if n == 0:
+        return doc_ids[:0], scores[:0]
+    if n > k:
+        thresh = np.partition(scores, n - k)[n - k]
+        sel = scores >= thresh
+        doc_ids, scores = doc_ids[sel], scores[sel]
+    order = np.lexsort((doc_ids, -scores))[:k]
+    return doc_ids[order], scores[order]
+
+
+def score_query_taat(reader: IndexReader, qterms: dict[str, float], k: int,
+                     scorer) -> tuple[np.ndarray, np.ndarray]:
+    """Term-at-a-time exhaustive scoring (vectorized numpy accumulation).
+    Used as the always-correct path and the oracle for block-max WAND."""
+    parts_d, parts_s = [], []
+    N, avgdl, total_len = reader.num_docs, reader.avgdl, reader.total_len
+    for term, boost in qterms.items():
+        tp = reader.get_term(term)
+        if tp is None:
+            continue
+        docs, tfs = decode_all(tp)
+        dl = reader.doc_len(docs)
+        contrib = boost * scorer.term_scores(
+            tfs.astype(np.float64), dl.astype(np.float64),
+            tp.df, tp.cf, N, avgdl, total_len)
+        parts_d.append(docs)
+        parts_s.append(contrib)
+    if not parts_d:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    all_d = np.concatenate(parts_d)
+    all_s = np.concatenate(parts_s)
+    uniq, inv = np.unique(all_d, return_inverse=True)
+    acc = np.bincount(inv, weights=all_s)
+    return _topk_exact(uniq, acc, k)
+
+
+class SearchStage:
+    """Actor-pool stage: query batch (qid, text) → TREC-style run rows.
+
+    Per-actor state (reader, analyzer, scorer) is built once in ``__init__``
+    (SURVEY.md T1); use as
+    ``queries.map_batches(SearchStage, fn_constructor_kwargs=..., concurrency=A)``.
+    """
+
+    def __init__(self, index_dir: str, scorer: str = "bm25", k: int = 1000,
+                 preload: bool = False, algo: str = "taat", **scorer_kw):
+        self.reader = IndexReader(index_dir, preload=preload)
+        st = self.reader.stats
+        self.analyzer = get_analyzer(
+            st["analyzer"], st.get("stopword_file"),
+            st.get("normalize_numbers", True) if st["analyzer"] == "english" else False)
+        self.scorer = make_scorer(scorer, **scorer_kw)
+        self.k = k
+        self.algo = algo
+
+    def _score(self, qterms: dict[str, float]):
+        if self.algo == "wand" and type(self.scorer).__name__ == "BM25Scorer":
+            from .wand import score_query_wand
+            return score_query_wand(self.reader, qterms, self.k, self.scorer)
+        return score_query_taat(self.reader, qterms, self.k, self.scorer)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["qid"].to_pylist()
+        if "terms" in batch.column_names:
+            term_lists = batch["terms"].to_pylist()
+        else:
+            term_lists = [self.analyzer(t) for t in batch["text"].to_pylist()]
+        self.reader.prefetch([t for ts in term_lists for t in ts])
+        out_qid: list[str] = []
+        out_doc, out_rank, out_score = [], [], []
+        for qid, terms in zip(qids, term_lists):
+            # bag-of-terms query: duplicate terms score once per occurrence
+            # (Lucene BooleanQuery of SHOULD TermQuery clauses — reference:
+            # src/main/java/retrieval/MsMarcoQuery.java:74-83)
+            qterms = {t: float(c) for t, c in Counter(terms).items()}
+            docs, scores = self._score(qterms)
+            n = len(docs)
+            out_qid.extend([str(qid)] * n)
+            out_doc.append(docs)
+            out_rank.append(np.arange(1, n + 1, dtype=np.int32))
+            out_score.append(scores)
+        return pa.Table.from_arrays([
+            pa.array(out_qid, type=pa.string()),
+            pa.array(np.concatenate(out_doc) if out_doc else np.empty(0, np.int64)),
+            pa.array(np.concatenate(out_rank) if out_rank else np.empty(0, np.int32)),
+            pa.array(np.concatenate(out_score) if out_score else np.empty(0, np.float64)),
+        ], schema=RUN_SCHEMA)
+
+
+def retrieve(queries_ds, index_dir: str, *, scorer: str = "bm25", k: int = 1000,
+             concurrency: int | tuple[int, int] = (1, 8), batch_size: int = 64,
+             preload: bool = False, algo: str = "taat", **scorer_kw):
+    """queries (qid, text) → run dataset (qid, doc_id, rank, score).
+
+    ``concurrency`` sizes the searcher actor pool (callable class ⇒ actors;
+    an (min, max) tuple lets the pool autoscale with query volume)."""
+    return queries_ds.map_batches(
+        SearchStage,
+        fn_constructor_kwargs=dict(index_dir=index_dir, scorer=scorer, k=k,
+                                   preload=preload, algo=algo, **scorer_kw),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

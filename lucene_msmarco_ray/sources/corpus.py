@@ -1,0 +1,100 @@
+"""Code-corpus source with deterministic dense doc-id assignment.
+
+The reference relies on Lucene doc offsets == insertion order ("In MSMARCO,
+Lucene doc offsets and ids are identical", reference:
+src/main/java/retrieval/SupervisedRLM.java:74). Our equivalent (SURVEY.md I1)
+assigns ``doc_id = file_base_offset + row_position`` where file base offsets
+are a prefix sum of per-file row counts taken from **Parquet footer metadata
+only** (no data read) over the lexicographically sorted file list. This is:
+
+* deterministic across runs and across parallelism levels (no Date/random);
+* scalable: the driver touches only footers; each task reads one row group;
+* dense: ids are [0, N) so doc-length lookups are plain array indexing.
+
+Input schema per BASELINE.json input_hint:
+``(repo:string, path:string, commit:string, lang:string, content:string)``.
+Adds ``doc_id:int64`` and ``doc_key = repo || "/" || path || "@" || commit``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+
+def _expand(paths: str | list[str]) -> list[str]:
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+        else:
+            files.append(p)
+    return sorted(files)
+
+
+def corpus_file_plan(paths: str | list[str]) -> list[dict]:
+    """One descriptor per parquet row group, with its global row offset."""
+    files = _expand(paths)
+    plan = []
+    base = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            nrows = md.row_group(rg).num_rows
+            plan.append({"file": f, "row_group": rg, "base": base, "rows": nrows})
+            base += nrows
+    return plan
+
+
+class _ReadRowGroup:
+    """Reads one row group and attaches doc_id / doc_key columns."""
+
+    def __init__(self, columns: list[str] | None, key_cols: tuple[str, ...]):
+        self.columns = columns
+        self.key_cols = key_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            t = pq.ParquetFile(row["file"]).read_row_group(
+                row["row_group"], columns=self.columns)
+            doc_id = pa.array(row["base"] + np.arange(t.num_rows, dtype=np.int64))
+            t = t.append_column("doc_id", doc_id)
+            if all(c in t.column_names for c in self.key_cols):
+                r, p, c = self.key_cols
+                # repo + "/" + path + "@" + commit
+                key = pc.binary_join_element_wise(
+                    pc.binary_join_element_wise(
+                        pc.cast(t[r], pa.string()), pc.cast(t[p], pa.string()), "/"),
+                    pc.cast(t[c], pa.string()), "@")
+                t = t.append_column("doc_key", key)
+            out.append(t)
+        return pa.concat_tables(out)
+
+
+def read_code_corpus(paths: str | list[str], columns: list[str] | None = None,
+                     key_cols: tuple[str, str, str] = ("repo", "path", "commit"),
+                     ) -> rd.Dataset:
+    """Dataset over the code corpus with deterministic ``doc_id``/``doc_key``.
+
+    ``columns`` prunes at the read (pass only what the stage needs, e.g.
+    ``["content"]`` + key cols for an index build).
+    """
+    plan = corpus_file_plan(paths)
+    if not plan:
+        raise FileNotFoundError(f"no parquet files under {paths!r}")
+    cols = columns
+    if cols is not None:
+        cols = sorted(set(cols) | set(key_cols))
+    ds = rd.from_items(plan)
+    # batch_size=1: one task per row group — the read parallel unit
+    return ds.map_batches(_ReadRowGroup(cols, key_cols), batch_size=1,
+                          batch_format="pyarrow")

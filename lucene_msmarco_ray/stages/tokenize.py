@@ -1,0 +1,106 @@
+"""Tokenize stage: corpus batches → postings rows + doc-meta rows.
+
+The reference's equivalent is the per-line loop feeding Lucene
+(reference: src/main/java/indexing/MsMarcoIndexer.java:67-90, with the
+analysis chain at :25-46,112-135). Here it is a single ``map_batches``
+stage over Arrow batches that emits BOTH row kinds in one pass (kind="p"
+postings, kind="m" doc metadata), so the corpus is tokenized exactly once and
+the staged output can be split by a partitioned Parquet write
+(``partition_cols=["kind"]``) without a second scan.
+
+The per-row sha256 of ``content`` is the lineage invariant demanded by
+BASELINE.json's input_hint ("per-row invariant vs the reference: content
+sha256 equality"); per-partition lineage is derived from these row hashes in
+``index.manifest``.
+
+Stateful setup (analyzer: stop set, stem cache, compiled regexes) happens once
+per worker via the callable-class pattern; work happens per batch in
+``__call__`` (SURVEY.md T6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..analysis import get_analyzer
+from ..config import EngineConfig
+
+POSTINGS_KIND = "p"
+META_KIND = "m"
+
+STAGED_SCHEMA = pa.schema([
+    ("kind", pa.string()),
+    ("term", pa.string()),
+    ("doc_id", pa.int64()),
+    ("tf", pa.int32()),
+    ("dl", pa.int32()),
+    ("doc_key", pa.string()),
+    ("sha256", pa.string()),
+])
+
+
+class TokenizeStage:
+    """corpus batch (pyarrow) → staged table of postings + meta rows."""
+
+    def __init__(self, cfg: EngineConfig, text_col: str = "text",
+                 id_col: str = "doc_id", key_col: str | None = None,
+                 hash_content: bool = True) -> None:
+        self.analyzer = get_analyzer(cfg.analyzer, cfg.stopword_file,
+                                     cfg.normalize_numbers if cfg.analyzer == "english"
+                                     else False)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.key_col = key_col
+        self.hash_content = hash_content
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        keys = (batch[self.key_col].to_pylist() if self.key_col
+                else [str(i) for i in ids])
+
+        analyzer = self.analyzer
+        n_docs = len(texts)
+        p_terms: list[str] = []
+        p_docs: list[np.ndarray] = []
+        p_tfs: list[np.ndarray] = []
+        p_dls: list[np.ndarray] = []
+        m_dl = np.empty(n_docs, dtype=np.int32)
+        m_sha: list[str] = []
+
+        for i, text in enumerate(texts):
+            terms = analyzer(text)
+            counts: dict[str, int] = {}
+            for t in terms:
+                counts[t] = counts.get(t, 0) + 1
+            dl = len(terms)
+            m_dl[i] = dl
+            m_sha.append(hashlib.sha256(text.encode("utf-8")).hexdigest()
+                         if self.hash_content else "")
+            if counts:
+                k = len(counts)
+                p_terms.extend(counts.keys())
+                p_tfs.append(np.fromiter(counts.values(), dtype=np.int32, count=k))
+                p_docs.append(np.full(k, ids[i], dtype=np.int64))
+                p_dls.append(np.full(k, dl, dtype=np.int32))
+
+        np_docs = np.concatenate(p_docs) if p_docs else np.empty(0, np.int64)
+        np_tfs = np.concatenate(p_tfs) if p_tfs else np.empty(0, np.int32)
+        np_dls = np.concatenate(p_dls) if p_dls else np.empty(0, np.int32)
+        npost = len(p_terms)
+
+        return pa.Table.from_arrays(
+            [
+                pa.array([POSTINGS_KIND] * npost + [META_KIND] * n_docs),
+                pa.array(p_terms + [""] * n_docs, type=pa.string()),
+                pa.array(np.concatenate([np_docs, ids.astype(np.int64)])),
+                pa.array(np.concatenate([np_tfs, np.zeros(n_docs, np.int32)])),
+                pa.array(np.concatenate([np_dls, m_dl])),
+                pa.array([""] * npost + keys, type=pa.string()),
+                pa.array([""] * npost + m_sha, type=pa.string()),
+            ],
+            schema=STAGED_SCHEMA,
+        )

@@ -4,9 +4,10 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from lucene_msmarco_ray.index.codec import (
-    decode_postings,
-    encode_postings,
-    merge_encoded_runs,
+    concat_runs,
+    decode_all,
+    decode_block,
+    encode_term_postings,
     varbyte_decode,
     varbyte_encode,
 )
@@ -23,7 +24,9 @@ def test_varbyte_edge():
     assert varbyte_encode(np.array([0])) == b"\x00"
     assert varbyte_encode(np.array([127])) == b"\x7f"
     assert varbyte_encode(np.array([128])) == b"\x80\x01"
-    assert varbyte_decode(b"") .size == 0
+    assert varbyte_decode(b"").size == 0
+    with pytest.raises(ValueError):
+        varbyte_decode(b"\x80\x80")
 
 
 @given(
@@ -36,34 +39,40 @@ def test_postings_roundtrip(docset, data):
     tfs = np.array(data.draw(st.lists(st.integers(1, 1000),
                                       min_size=len(docs), max_size=len(docs))))
     dls = tfs + 3
-    ep = encode_postings(docs, tfs, dls, block_size=16)
-    d, t = decode_postings(ep.doc_bytes, ep.tf_bytes, ep.df)
+    tp = encode_term_postings(docs, tfs, dls, block_size=16)
+    d, t = decode_all(tp)
     assert d.tolist() == docs.tolist()
     assert t.tolist() == tfs.tolist()
-    assert ep.df == len(docs) and ep.cf == int(tfs.sum())
-    # block metadata
+    assert tp.df == len(docs) and tp.cf == int(tfs.sum())
     nb = (len(docs) + 15) // 16
-    assert len(ep.block_last_doc) == nb
-    assert ep.block_last_doc[-1] == docs[-1]
+    assert len(tp.b_last) == nb
+    assert tp.b_last[-1] == docs[-1] and tp.b_first[0] == docs[0]
     for i in range(nb):
         sl = slice(i * 16, (i + 1) * 16)
-        assert ep.block_max_tf[i] == tfs[sl].max()
-        assert ep.block_min_dl[i] == dls[sl].min()
+        assert tp.b_max_tf[i] == tfs[sl].max()
+        assert tp.b_min_dl[i] == dls[sl].min()
+        bd, bt = decode_block(tp, i)
+        assert bd.tolist() == docs[sl].tolist()
+        assert bt.tolist() == tfs[sl].tolist()
 
 
 def test_duplicate_doc_rejected():
     with pytest.raises(ValueError):
-        encode_postings(np.array([1, 1]), np.array([1, 2]), np.array([3, 3]))
+        encode_term_postings(np.array([1, 1]), np.array([1, 2]), np.array([3, 3]))
 
 
-def test_merge_salted_runs():
+def test_concat_salted_runs_no_decode():
     d1, t1 = np.arange(0, 50), np.arange(1, 51)
     d2, t2 = np.arange(100, 130), np.arange(2, 32)
-    dl = lambda d: d + 5
-    r1 = encode_postings(d1, t1, dl(d1), block_size=8)
-    r2 = encode_postings(d2, t2, dl(d2), block_size=8)
-    merged = merge_encoded_runs([r2, r1], doc_lens_lookup=dl, block_size=8)
-    d, t = decode_postings(merged.doc_bytes, merged.tf_bytes, merged.df)
+    r1 = encode_term_postings(d1, t1, d1 + 5, block_size=8)
+    r2 = encode_term_postings(d2, t2, d2 + 5, block_size=8)
+    merged = concat_runs([r2, r1])  # order-insensitive
+    d, t = decode_all(merged)
     assert d.tolist() == d1.tolist() + d2.tolist()
     assert t.tolist() == t1.tolist() + t2.tolist()
-    assert merged.df == 80
+    assert merged.df == 80 and merged.cf == int(t1.sum() + t2.sum())
+    # block decode still works across the seam
+    for i in range(len(merged.b_count)):
+        decode_block(merged, i)
+    with pytest.raises(ValueError):
+        concat_runs([r1, r1])
