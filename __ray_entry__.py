@@ -1,44 +1,476 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (index build + BM25 retrieval) on
+sf0.001. ``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL for each
+SQL-expressible one. Column names/types match between both sides; floats are
+rounded to 6 dp on both sides so the value-hash comparison is robust to
+summation-order ulps.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+from collections import Counter
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# fixed gate query set (terms drawn from the testdata `documents` vocabulary;
+# includes duplicate-term, stop-like, df=0 and no-hit edge queries per
+# FIXTURES.md F2)
+# ---------------------------------------------------------------------------
+GATE_QUERIES: list[tuple[str, str]] = [
+    ("1", "table value hash"),
+    ("2", "window sort merge"),
+    ("3", "key scan filter"),
+    ("4", "agg join column data"),
+    ("5", "slow fast stream"),
+    ("6", "spark order row line"),
+    ("7", "group query vector big"),
+    ("8", "dup small customer"),
+    ("9", "table table key"),          # duplicate term → double weight
+    ("10", "the a value"),
+    ("11", "zzmissing value"),         # df=0 term mixed with a real term
+    ("12", "zzmissing"),               # no hits at all
+]
+
+_K = 1000
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_dir_for(sf_dir: str) -> str:
+    import hashlib
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join("/tmp/graft_idx", f"{os.path.basename(sf_dir.rstrip('/'))}_{tag}")
+
+
+def _ensure_index(sf_dir: str) -> str:
+    """Build (or resume) the gate index over <sf_dir>/documents.parquet."""
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    import ray.data as rd
+
+    from lucene_msmarco_ray.config import EngineConfig
+    from lucene_msmarco_ray.index.build import build_index
+
+    out = _index_dir_for(sf_dir)
+    cfg = EngineConfig(analyzer="simple", num_shards=8)
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    build_index(ds, out, cfg, text_col="text", id_col="doc_id")
+    _INDEX_CACHE[sf_dir] = out
+    return out
+
+
+def _queries_ds():
+    import ray.data as rd
+    return rd.from_items([{"qid": q, "text": t} for q, t in GATE_QUERIES])
+
+
+def _rounded_run(sf_dir: str, scorer: str, k: int = _K, **scorer_kw):
+    """Engine run re-ranked on 6-dp-rounded scores (qid, doc_id, rank, score).
+    The flagship `retrieve` keeps exact Lucene ordering; this wrapper only
+    stabilizes the gate comparison against SQL float summation order."""
+    import pandas as pd
+
+    from lucene_msmarco_ray.search.searcher import retrieve
+
+    idx = _ensure_index(sf_dir)
+    run = retrieve(_queries_ds(), idx, scorer=scorer, k=k, concurrency=2,
+                   **scorer_kw)
+
+    def rr(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["score"] = g["score"].round(6)
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", "doc_id", "rank", "score"]]
+
+    rr.__name__ = "rerank_rounded"
+    return run.groupby("qid").map_groups(rr, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle fragments
+# ---------------------------------------------------------------------------
+
+_TOKS = """
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), toks2 AS (SELECT doc_id, term FROM toks WHERE term <> '')"""
+
+_CORE = _TOKS + """,
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks2 GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM toks2)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl,
+         (SELECT count(*) FROM toks2)::DOUBLE AS total_len
+),
+df AS (SELECT term, count(*)::DOUBLE AS df, sum(tf)::DOUBLE AS cf
+       FROM tf GROUP BY 1)"""
+
+
+def _query_values() -> str:
+    rows = []
+    for qid, text in GATE_QUERIES:
+        for term, qtf in sorted(Counter(text.split()).items()):
+            rows.append(f"('{qid}', '{term}', {qtf})")
+    return "qv(qid, term, qtf) AS (VALUES " + ", ".join(rows) + ")"
+
+
+def _bm25_sql(k1: float, b: float, k: int = _K) -> str:
+    return f"""WITH {_CORE},
+{_query_values()},
+matched AS (
+  SELECT qv.qid, tf.doc_id,
+         sum(qv.qtf * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl))) AS raw
+  FROM qv
+  JOIN tf ON tf.term = qv.term
+  JOIN df ON df.term = qv.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, doc_id, round(raw, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(raw, 6) DESC, doc_id) AS rank
+  FROM matched
+)
+SELECT qid, doc_id, rank::BIGINT AS rank, score
+FROM ranked WHERE rank <= {k}"""
+
+
+def _lmdir_sql(mu: float, k: int = _K) -> str:
+    return f"""WITH {_CORE},
+{_query_values()},
+matched AS (
+  SELECT qv.qid, tf.doc_id,
+         sum(qv.qtf * greatest(0,
+             ln(1 + tf.tf / ({mu} * ((df.cf + 1) / (s.total_len + 1))))
+             + ln({mu} / (dl.dl + {mu})))) AS raw
+  FROM qv
+  JOIN tf ON tf.term = qv.term
+  JOIN df ON df.term = qv.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, doc_id, round(raw, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(raw, 6) DESC, doc_id) AS rank
+  FROM matched
+)
+SELECT qid, doc_id, rank::BIGINT AS rank, score
+FROM ranked WHERE rank <= {k}"""
+
+
+def _minmax_sql(k1: float, b: float) -> str:
+    return f"""WITH {_CORE},
+{_query_values()},
+matched AS (
+  SELECT qv.qid, tf.doc_id,
+         sum(qv.qtf * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl))) AS raw
+  FROM qv
+  JOIN tf ON tf.term = qv.term JOIN df ON df.term = qv.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+r AS (SELECT qid, doc_id, round(raw, 6) AS score FROM matched),
+mm AS (SELECT qid, min(score) AS lo, max(score) AS hi FROM r GROUP BY 1)
+SELECT r.qid, r.doc_id,
+       round(CASE WHEN mm.hi = mm.lo THEN 0.0
+                  ELSE (r.score - mm.lo) / (mm.hi - mm.lo) END, 6) AS norm_score
+FROM r JOIN mm ON r.qid = mm.qid"""
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(words)) + "]"
+
+
+# ---------------------------------------------------------------------------
+# queries()
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: index build + BM25 top-k retrieval on sf0.001."""
+    return _rounded_run("/root/testdata/sf0.001", "bm25", k=100, k1=0.7, b=0.3)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import pyarrow as pa
+    import pyarrow.dataset as pads
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def term_stats(sf_dir: str):
+        # read back from the engine's own segment files — exercises the full
+        # build path (tokenize → shuffle → encode → parquet)
+        idx = _ensure_index(sf_dir)
+        t = pads.dataset(os.path.join(idx, "segments")).to_table(
+            columns=["term", "df", "cf"])
+        return t.sort_by("term")
+
+    def doc_stats(sf_dir: str):
+        idx = _ensure_index(sf_dir)
+        base = os.path.join(idx, "staged")
+        dirs = [os.path.join(base, p, "kind=m") for p in sorted(os.listdir(base))
+                if p.startswith("part=")]
+        from lucene_msmarco_ray.index.build import pads_dirs
+        t = pads_dirs(dirs).to_table(columns=["doc_id", "dl"])
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "doc_len": t["dl"].cast(pa.int64())})
+
+    def bm25_topk(sf_dir: str):
+        return _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
+
+    def bm25_topk_ref_params(sf_dir: str):
+        return _rounded_run(sf_dir, "bm25", k1=1.2, b=0.75)
+
+    def lmdir_topk(sf_dir: str):
+        return _rounded_run(sf_dir, "lmdir", mu=1000.0)
+
+    def minmax_norm(sf_dir: str):
+        import pandas as pd
+        run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
+
+        def mm(g: pd.DataFrame) -> pd.DataFrame:
+            lo, hi = g["score"].min(), g["score"].max()
+            g = g.copy()
+            g["norm_score"] = (0.0 if hi == lo
+                               else (g["score"] - lo) / (hi - lo))
+            if hi == lo:
+                g["norm_score"] = 0.0
+            g["norm_score"] = g["norm_score"].round(6)
+            return g[["qid", "doc_id", "norm_score"]]
+
+        mm.__name__ = "minmax"
+        return run.groupby("qid").map_groups(mm, batch_format="pandas")
+
+    def dedup_exact(sf_dir: str):
+        import ray.data as rd
+
+        from lucene_msmarco_ray.ops.dedup import exact_dedup
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return exact_dedup(ds)
+
+    def tok_count(sf_dir: str):
+        import ray.data as rd
+
+        from lucene_msmarco_ray.ops.textstats import token_count
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return token_count(ds)
+
+    def quality(sf_dir: str):
+        import ray.data as rd
+
+        from lucene_msmarco_ray.ops.textstats import quality_score
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return quality_score(ds)
+
+    def langid(sf_dir: str):
+        import ray.data as rd
+
+        from lucene_msmarco_ray.ops.textstats import lang_id
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return lang_id(ds)
+
+    def fp(sf_dir: str):
+        import ray.data as rd
+
+        from lucene_msmarco_ray.ops.textstats import fingerprint
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return fingerprint(ds)
+
+    def ngram_jacc(sf_dir: str):
+        import ray.data as rd
+
+        from lucene_msmarco_ray.ops.dedup import ngram_jaccard_pairs
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return ngram_jaccard_pairs(ds, n=3, threshold=0.8)
+
+    def _emb_queries(sf_dir: str):
+        import pyarrow.parquet as pq
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        ids = t["vec_id"].to_numpy()
+        sel = np.isin(ids, [0, 1, 2])
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)[sel]
+        return ids[sel], mat
+
+    def ann_bruteforce(sf_dir: str):
+        import ray.data as rd
+
+        from lucene_msmarco_ray.ops.ann import brute_force_knn
+        qids, qmat = _emb_queries(sf_dir)
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        return brute_force_knn(ds, qids, qmat, k=10)
+
+    def ann_lsh(sf_dir: str):
+        import ray.data as rd
+
+        from lucene_msmarco_ray.ops.ann import lsh_knn
+        qids, qmat = _emb_queries(sf_dir)
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        return lsh_knn(ds, qids, qmat, k=10, nbits=6)
+
+    def minhash_pairs(sf_dir: str):
+        import ray.data as rd
+
+        from lucene_msmarco_ray.ops.dedup import minhash_lsh_candidates
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return minhash_lsh_candidates(ds)
+
+    def simhash(sf_dir: str):
+        import ray.data as rd
+
+        from lucene_msmarco_ray.ops.dedup import simhash_pairs
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return simhash_pairs(ds)
+
+    return {
+        "term_stats": term_stats,
+        "doc_stats": doc_stats,
+        "bm25_topk": bm25_topk,
+        "bm25_topk_ref_params": bm25_topk_ref_params,
+        "lmdir_topk": lmdir_topk,
+        "minmax_norm": minmax_norm,
+        "dedup_exact": dedup_exact,
+        "token_count": tok_count,
+        "quality_score": quality,
+        "lang_id": langid,
+        "fingerprint": fp,
+        "ngram_jaccard": ngram_jacc,
+        "ann_bruteforce": ann_bruteforce,
+        "ann_lsh": ann_lsh,
+        "minhash_pairs": minhash_pairs,
+        "simhash_pairs": simhash,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lucene_msmarco_ray.ops.textstats import LANG_MARKERS, STOP_SMALL
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n  ".join(
+        f"len(list_filter(toks, x -> list_contains({_sql_list(LANG_MARKERS[l])}, x)))"
+        f" AS s_{l}" for l in langs)
+    max_expr = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pred_branches = " ".join(
+        f"WHEN s_{l} = m THEN '{l}'" for l in langs)
+
+    return {
+        "term_stats": f"""WITH {_TOKS}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM toks2 GROUP BY term""",
+
+        "doc_stats": f"""WITH {_TOKS}
+SELECT doc_id, count(*)::BIGINT AS doc_len FROM toks2 GROUP BY doc_id""",
+
+        "bm25_topk": _bm25_sql(0.7, 0.3),
+        "bm25_topk_ref_params": _bm25_sql(1.2, 0.75),
+        "lmdir_topk": _lmdir_sql(1000.0),
+        "minmax_norm": _minmax_sql(0.7, 0.3),
+
+        "dedup_exact": """SELECT md5(text) AS content_hash,
+  min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count
+FROM documents GROUP BY md5(text)""",
+
+        "token_count": """SELECT doc_id,
+  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+  len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT
+    AS n_unique
+FROM documents""",
+
+        "quality_score": f"""WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+  round(len(list_filter(toks, x -> list_contains({_sql_list(STOP_SMALL)}, x)))
+        / len(toks)::DOUBLE, 6) AS stop_ratio,
+  round(list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+        / len(toks)::DOUBLE, 6) AS mean_token_len,
+  round(len(list_distinct(toks)) / len(toks)::DOUBLE, 6) AS uniq_ratio
+FROM t""",
+
+        "lang_id": f"""WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+s AS (SELECT doc_id,
+  {score_cols}
+  FROM t),
+m AS (SELECT *, {max_expr} AS m FROM s)
+SELECT doc_id,
+  CASE WHEN m = 0 THEN 'und' {pred_branches} END AS lang_pred,
+  m::BIGINT AS lang_score
+FROM m""",
+
+        "fingerprint": """WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+gl AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE [array_to_string(toks, ' ')] END AS grams
+  FROM t),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM gl)
+SELECT doc_id, min(md5(gram)) AS fp FROM g GROUP BY doc_id""",
+
+        "ngram_jaccard": """WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+gl AS (
+  SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+  FROM t WHERE len(toks) >= 3),
+g AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM gl),
+n AS (SELECT doc_id, count(*)::DOUBLE AS ng FROM g GROUP BY 1),
+gdf AS (SELECT gram, count(*) AS gram_df FROM g GROUP BY 1),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS shared
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  JOIN gdf ON gdf.gram = a.gram
+  WHERE gdf.gram_df <= 200
+  GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b,
+       round(p.shared / (na.ng + nb.ng - p.shared), 6) AS jaccard
+FROM p JOIN n na ON na.doc_id = p.doc_a JOIN n nb ON nb.doc_id = p.doc_b
+WHERE p.shared / (na.ng + nb.ng - p.shared) >= 0.8""",
+
+        "ann_bruteforce": """WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+sims AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6) AS sim
+  FROM q CROSS JOIN embeddings e),
+ranked AS (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+  FROM sims)
+SELECT q_id, vec_id, rank::BIGINT AS rank, sim FROM ranked WHERE rank <= 10""",
+        # ann_lsh, minhash_pairs, simhash_pairs: approximate / hash-seeded →
+        # no SQL oracle; the driver records rows-only checks for them.
+    }
