@@ -201,6 +201,74 @@ def _sql_list(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in sorted(words)) + "]"
 
 
+def _gate_qrels(sf_dir: str):
+    """Deterministic synthetic qrels for the gate: every (gate qid, doc) pair
+    gets rel = (doc_id*7 + qid*13) % 4 — graded 0..3 with rel>=2 'relevant'
+    (mirrors FIXTURES.md F3; identical arithmetic in the SQL oracle)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    frames = []
+    for qid, _ in GATE_QUERIES:
+        rel = (ids * 7 + int(qid) * 13) % 4
+        frames.append(pd.DataFrame({"qid": qid, "docid": ids, "rel": rel}))
+    df = pd.concat(frames, ignore_index=True)
+    return df[df["rel"] > 0]  # parse-time drop of rel<=0 (AllRelRcds.java:52-63)
+
+
+_QRELS_SQL = """
+qq AS (SELECT DISTINCT qid FROM qv),
+qrels AS (
+  SELECT qq.qid, d.doc_id, (d.doc_id * 7 + CAST(qq.qid AS INT) * 13) % 4 AS rel
+  FROM qq CROSS JOIN (SELECT doc_id FROM documents) d),
+ann AS (
+  SELECT r.qid, r.doc_id, r.rank,
+         coalesce(q.rel, 0) AS rel
+  FROM ranked r LEFT JOIN qrels q ON q.qid = r.qid AND q.doc_id = r.doc_id)"""
+
+
+def _eval_sql(k1: float, b: float) -> str:
+    bm = _bm25_sql(k1, b)
+    ranked_cte = bm[: bm.rindex(")\nSELECT")] + ")"  # keep WITH ... ranked
+    return ranked_cte + "," + _QRELS_SQL + """,
+tot AS (SELECT qid, sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END)::DOUBLE AS total_rel
+        FROM qrels GROUP BY 1),
+hits AS (SELECT qid, rank,
+                row_number() OVER (PARTITION BY qid ORDER BY rank) AS nrel
+         FROM ann WHERE rel >= 2),
+aps AS (SELECT qid, sum(nrel / rank::DOUBLE) AS s, count(*)::DOUBLE AS nseen,
+               max(rank) AS lastrank
+        FROM hits GROUP BY 1),
+pk AS (SELECT qid,
+              sum(CASE WHEN rel >= 2 AND rank <= 5 THEN 1 ELSE 0 END) / 5.0 AS p5,
+              sum(CASE WHEN rel >= 2 AND rank <= 10 THEN 1 ELSE 0 END) / 10.0 AS p10,
+              sum(CASE WHEN rank <= 10 THEN rel / log2(rank + 1.0) ELSE 0 END) AS dcg10
+       FROM ann GROUP BY 1),
+ideal AS (SELECT qid, rel,
+                 row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS pos
+          FROM qrels WHERE rel > 0),
+idcg AS (SELECT qid, sum(rel / log2(pos + 1.0)) AS idcg10
+         FROM ideal WHERE pos <= 10 GROUP BY 1)
+SELECT pk.qid,
+  round(coalesce(aps.s, 0) / tot.total_rel, 6) AS ap,
+  round(pk.p5, 6) AS p5, round(pk.p10, 6) AS p10,
+  round(coalesce(1.0 / aps.lastrank, 0), 6) AS rr,
+  round(coalesce(aps.nseen, 0) / tot.total_rel, 6) AS recall,
+  round(coalesce(pk.dcg10, 0) / idcg.idcg10, 6) AS ndcg10
+FROM pk
+JOIN tot ON tot.qid = pk.qid
+JOIN idcg ON idcg.qid = pk.qid
+LEFT JOIN aps ON aps.qid = pk.qid"""
+
+
+def _rel_annotate_sql(k1: float, b: float) -> str:
+    bm = _bm25_sql(k1, b)
+    ranked_cte = bm[: bm.rindex(")\nSELECT")] + ")"
+    return ranked_cte + "," + _QRELS_SQL + """
+SELECT qid, doc_id, rank, rel::BIGINT AS rel FROM ann"""
+
+
 # ---------------------------------------------------------------------------
 # queries()
 # ---------------------------------------------------------------------------
@@ -348,6 +416,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["doc_id", "text"])
         return simhash_pairs(ds)
 
+    def eval_metrics(sf_dir: str):
+        import pandas as pd
+
+        from lucene_msmarco_ray.eval.metrics import per_query_metrics
+        run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
+        pq = per_query_metrics(run, _gate_qrels(sf_dir), cutoffs=(10,))
+
+        def clean(df: pd.DataFrame) -> pd.DataFrame:
+            return df[["qid", "ap", "p5", "p10", "rr", "recall", "ndcg10"]]
+
+        return pq.map_batches(clean, batch_format="pandas")
+
+    def rel_annotate(sf_dir: str):
+        import pyarrow as pa
+
+        from lucene_msmarco_ray.eval.metrics import annotate_rel
+        run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
+        ann = annotate_rel(run, _gate_qrels(sf_dir))
+
+        def clean(batch: pa.Table) -> pa.Table:
+            return batch.select(["qid", "doc_id", "rank", "rel"])
+
+        return ann.map_batches(clean, batch_format="pyarrow")
+
     return {
         "term_stats": term_stats,
         "doc_stats": doc_stats,
@@ -365,6 +457,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": ann_lsh,
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash,
+        "eval_metrics": eval_metrics,
+        "rel_annotate": rel_annotate,
     }
 
 
@@ -471,6 +565,8 @@ ranked AS (
          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
   FROM sims)
 SELECT q_id, vec_id, rank::BIGINT AS rank, sim FROM ranked WHERE rank <= 10""",
+        "eval_metrics": _eval_sql(0.7, 0.3),
+        "rel_annotate": _rel_annotate_sql(0.7, 0.3),
         # ann_lsh, minhash_pairs, simhash_pairs: approximate / hash-seeded →
         # no SQL oracle; the driver records rows-only checks for them.
     }

@@ -1,0 +1,154 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ..., "num_cpus": N}
+
+Headline pipelines:
+  * corpus_build  — inverted-index build over a deterministic synthetic code
+                    corpus (BASELINE.json input_hint schema; GRAFT_BENCH_DOCS
+                    docs, cached parquet under /tmp) — english analyzer,
+                    salted groupby-term merge, sharded segments;
+  * corpus_search — BM25 top-1000 for the synthetic query set against that
+                    index (searcher actor pool);
+  * plus the gate pipelines over $GRAFT_SF_DIR/documents.parquet.
+
+`--scaling` runs the same job in two fresh processes (num_cpus=8 and 32) on
+the same input and reports both throughputs + scaling efficiency
+(the in-sandbox stand-in for N vs 4N nodes; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "30000"))
+BENCH_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "200"))
+
+
+def _corpus_files() -> list[str]:
+    """Deterministic synthetic code corpus, cached across runs."""
+    from lucene_msmarco_ray.synth import generate_corpus
+    d = f"/tmp/graft_bench_corpus_{BENCH_DOCS}"
+    marker = os.path.join(d, "_COMPLETE")
+    if os.path.exists(marker):
+        return sorted(os.path.join(d, f) for f in os.listdir(d)
+                      if f.endswith(".parquet"))
+    files = generate_corpus(BENCH_DOCS, seed=42, n_files=32, out_dir=d)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return files
+
+
+def run_bench() -> dict:
+    os.environ.setdefault("PYTHONPATH", REPO)
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from lucene_msmarco_ray.config import EngineConfig
+    from lucene_msmarco_ray.index.build import build_index
+    from lucene_msmarco_ray.search.searcher import retrieve
+    from lucene_msmarco_ray.sources.corpus import read_code_corpus
+    from lucene_msmarco_ray.synth import generate_queries
+
+    timings: dict[str, float] = {}
+    files = _corpus_files()
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    for f in files:
+        with open(f, "rb") as fh:
+            fh.read()
+
+    import shutil
+    idx_dir = f"/tmp/graft_bench_idx_{BENCH_DOCS}_{NUM_CPUS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfg = EngineConfig(analyzer="english", num_shards=max(NUM_CPUS, 8))
+
+    t0 = time.time()
+    stats = build_index(read_code_corpus(files, columns=["content"]),
+                        idx_dir, cfg, text_col="content", id_col="doc_id",
+                        key_col="doc_key")
+    timings["corpus_build"] = round(time.time() - t0, 3)
+
+    qtbl = generate_queries(BENCH_QUERIES, seed=7)
+    qs = rd.from_arrow(qtbl)
+    t0 = time.time()
+    run = retrieve(qs, idx_dir, scorer="bm25", k=1000, k1=0.7, b=0.3,
+                   concurrency=max(2, NUM_CPUS // 2), batch_size=16,
+                   preload=True)
+    nrows = run.count()
+    timings["corpus_search"] = round(time.time() - t0, 3)
+
+    # gate pipelines over the sf dir
+    import __ray_entry__ as e
+    sys.modules.setdefault("__ray_entry__", e)
+    qmap = e.queries()
+    # ngram_jaccard is excluded here: on the synthetic sf0.1 documents table
+    # (31-word vocab, all docs near-similar) exact all-pairs Jaccard is
+    # inherently quadratic; it stays in the sf0.01 correctness gate.
+    for name in ("bm25_topk", "term_stats", "dedup_exact", "token_count",
+                 "ann_bruteforce", "minhash_pairs"):
+        t0 = time.time()
+        res = qmap[name](SF_DIR)
+        # consume to force execution
+        try:
+            import ray.data as _rd
+            if isinstance(res, _rd.Dataset):
+                res.count()
+        except Exception:
+            pass
+        timings[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "graft_bench_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_docs": BENCH_DOCS,
+        "build_docs_per_sec": round(stats["num_docs"] / timings["corpus_build"], 1),
+        "search_qps": round((BENCH_QUERIES + 2) / timings["corpus_search"], 2),
+        "run_rows": int(nrows),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    """Same job, two fresh processes at num_cpus=8 and 32 (N vs 4N)."""
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                           env=env, capture_output=True, text=True, check=True)
+        out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
+    # throughput-based efficiency on the two headline pipelines
+    tb8 = out[8]["build_docs_per_sec"]
+    tb32 = out[32]["build_docs_per_sec"]
+    ts8 = out[8]["search_qps"]
+    ts32 = out[32]["search_qps"]
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "build_docs_per_sec": {"cpus8": tb8, "cpus32": tb32},
+        "search_qps": {"cpus8": ts8, "cpus32": ts32},
+        "build_scaling_efficiency": round(tb32 / (4 * tb8), 3),
+        "search_scaling_efficiency": round(ts32 / (4 * ts8), 3),
+        "sec_8": out[8]["value"], "sec_32": out[32]["value"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -68,22 +68,21 @@ class _MinHashStage:
     def __init__(self, num_perm: int, bands: int, shingle_k: int,
                  text_col: str, id_col: str, seed: int = 13):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+        self.a = rng.integers(1, 2**63, num_perm, dtype=np.uint64) * 2 + 1  # odd
+        self.b = rng.integers(0, 2**63, num_perm, dtype=np.uint64)
         self.num_perm, self.bands = num_perm, bands
         self.rows_per_band = num_perm // bands
         self.shingle_k = shingle_k
         self.text_col, self.id_col = text_col, id_col
 
-    def signature(self, tokens: list[str]) -> np.ndarray:
-        sh = _shingle_hashes(tokens, self.shingle_k)
+    def signature_from_hashes(self, sh: np.ndarray) -> np.ndarray:
         if sh.size == 0:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, np.uint64)
-        # (a*x + b) mod p, min over shingles, vectorized (perm × shingle)
-        x = sh.astype(object)  # python ints: avoid uint64 overflow in a*x
-        vals = (self.a[:, None].astype(object) * sh[None, :].astype(object)
-                + self.b[:, None].astype(object)) % _MERSENNE
-        return np.min(vals, axis=1).astype(np.uint64)
+        # multiply-shift hash family mod 2^64 (native uint64 wraparound —
+        # fully vectorized; a is odd so the map is a bijection on Z_2^64)
+        with np.errstate(over="ignore"):
+            vals = self.a[:, None] * sh[None, :] + self.b[:, None]
+        return np.min(vals, axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
@@ -91,9 +90,9 @@ class _MinHashStage:
         band_id, band_key, doc_id, nsh = [], [], [], []
         r = self.rows_per_band
         for i, text in enumerate(texts):
-            toks = text.split()
-            sig = self.signature(toks)
-            n = _shingle_hashes(toks, self.shingle_k).size
+            sh = _shingle_hashes(text.split(), self.shingle_k)
+            sig = self.signature_from_hashes(sh)
+            n = sh.size
             for bnd in range(self.bands):
                 chunk = sig[bnd * r:(bnd + 1) * r]
                 key = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
