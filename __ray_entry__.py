@@ -269,6 +269,43 @@ def _rel_annotate_sql(k1: float, b: float) -> str:
 SELECT qid, doc_id, rank, rel::BIGINT AS rel FROM ann"""
 
 
+def _qpp_sql(k1: float, b: float, k: int = 50) -> str:
+    """NQC / cumulative-NQC / avgIDF / maxIDF per gate query. idf = ln(N/df)
+    with the reference's two df=0 conventions (see qpp/methods.py)."""
+    bm = _bm25_sql(k1, b)
+    ranked_cte = bm[: bm.rindex(")\nSELECT")] + ")"
+    return ranked_cte + f""",
+qterms AS (SELECT DISTINCT qid, term FROM qv),
+idfv AS (
+  SELECT qt.qid,
+         ln(s.n / coalesce(df.df, 1)) AS idf_nqc,          -- df=0 → 1
+         CASE WHEN df.df IS NOT NULL THEN ln(s.n / df.df) END AS idf_real
+  FROM qterms qt LEFT JOIN df ON df.term = qt.term CROSS JOIN stats s),
+qidf AS (
+  SELECT qid, avg(idf_nqc) AS avg_idf_nqc,
+         coalesce(max(idf_real), 0) AS maxidf,
+         coalesce(sum(idf_real), 0) / count(*) AS avgidf
+  FROM idfv GROUP BY 1),
+topk AS (SELECT qid, rank, score FROM ranked WHERE rank <= {k}),
+cnt AS (SELECT qid, count(*) AS c FROM ranked GROUP BY 1),
+v AS (SELECT qid, var_pop(score) AS vp FROM topk GROUP BY 1),
+grid AS (SELECT cnt.qid, unnest(generate_series(1, least({k}, cnt.c) - 1)) AS i,
+                least({k}, cnt.c) AS kk
+         FROM cnt),
+cum AS (
+  SELECT g.qid, g.kk, g.i, var_pop(t.score) AS vi
+  FROM grid g JOIN topk t ON t.qid = g.qid AND t.rank <= g.i
+  GROUP BY 1, 2, 3)
+SELECT v.qid,
+  round(v.vp * q.avg_idf_nqc, 6) AS nqc,
+  round(coalesce(c.s, 0) * q.avg_idf_nqc / c.kk, 6) AS cumnqc,
+  round(q.avgidf, 6) AS avgidf,
+  round(q.maxidf, 6) AS maxidf
+FROM v
+JOIN qidf q ON q.qid = v.qid
+JOIN (SELECT qid, kk, sum(vi) AS s FROM cum GROUP BY 1, 2) c ON c.qid = v.qid"""
+
+
 # ---------------------------------------------------------------------------
 # queries()
 # ---------------------------------------------------------------------------
@@ -440,6 +477,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ann.map_batches(clean, batch_format="pyarrow")
 
+    def _gate_query_map() -> dict[str, str]:
+        return dict(GATE_QUERIES)
+
+    def qpp_basic(sf_dir: str):
+        from lucene_msmarco_ray.pipelines.feedback import qpp_estimates
+        run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
+        idx = _ensure_index(sf_dir)
+        return qpp_estimates(run, idx, _gate_query_map(), k=50,
+                             methods=("nqc", "cumnqc", "avgidf", "maxidf"),
+                             concurrency=2)
+
+    def qpp_sampling(sf_dir: str):
+        from lucene_msmarco_ray.pipelines.feedback import qpp_estimates
+        run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
+        idx = _ensure_index(sf_dir)
+        return qpp_estimates(run, idx, _gate_query_map(), k=50,
+                             methods=("rsd", "uef"), concurrency=2)
+
+    def fdbk_rerank(sf_dir: str):
+        from lucene_msmarco_ray.pipelines.feedback import feedback_rerank
+        run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
+        idx = _ensure_index(sf_dir)
+        return feedback_rerank(run, idx, _gate_query_map(),
+                               model="conditional", concurrency=2)
+
+    def rm3_expand(sf_dir: str):
+        from lucene_msmarco_ray.pipelines.feedback import expand_queries
+        run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
+        idx = _ensure_index(sf_dir)
+        return expand_queries(run, idx, _gate_query_map(), concurrency=2)
+
     return {
         "term_stats": term_stats,
         "doc_stats": doc_stats,
@@ -459,6 +527,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": simhash,
         "eval_metrics": eval_metrics,
         "rel_annotate": rel_annotate,
+        "qpp_basic": qpp_basic,
+        "qpp_sampling": qpp_sampling,
+        "fdbk_rerank": fdbk_rerank,
+        "rm3_expand": rm3_expand,
     }
 
 
@@ -567,6 +639,9 @@ ranked AS (
 SELECT q_id, vec_id, rank::BIGINT AS rank, sim FROM ranked WHERE rank <= 10""",
         "eval_metrics": _eval_sql(0.7, 0.3),
         "rel_annotate": _rel_annotate_sql(0.7, 0.3),
+        "qpp_basic": _qpp_sql(0.7, 0.3),
+        # qpp_sampling (RSD/UEF seeded sampling), fdbk_rerank, rm3_expand:
+        # iterative / model-based → rows-only checks.
         # ann_lsh, minhash_pairs, simhash_pairs: approximate / hash-seeded →
         # no SQL oracle; the driver records rows-only checks for them.
     }

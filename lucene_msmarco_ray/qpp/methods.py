@@ -1,0 +1,147 @@
+"""Query-performance-prediction estimators (SURVEY.md A12-A18) — semantics
+mirrored from the reference, quirks flagged:
+
+* idf here is ln(N/df) — NOT the BM25 idf (reference:
+  src/main/java/qpp/BaseIDFSpecificity.java:44-87). Query terms are a SET
+  (extractTerms de-duplicates). Two different df=0 conventions coexist in the
+  reference and are kept: ``max_idf``/``avg_idf`` SKIP df=0 terms
+  (BaseIDFSpecificity.java:56-62, AvgIDFSpecificity.java:42-61 — avg still
+  divides by the full term count); the idf vector used inside NQC maps df=0
+  to df=1 (BaseIDFSpecificity.java idfs(), "avoid 0 error").
+* NQC (NQCSpecificity.java:25-62): population variance of the top-k scores
+  × mean idf (df=0→1 convention).
+* CumulativeNQC (CumulativeNQC.java:14-21): Σ_{i=1..k-1} NQC@i, divided by k.
+* RSD (RSDSpecificity.java:16-51): 10 samples; each shuffles the ranked list
+  and takes the first min(20, n) docs; estimate = mean over samples of
+  RBO(full, sample) × baseQPP(sample). The reference uses one shared
+  java.util.Random(314152) whose consumption order depends on query
+  processing order — per SURVEY.md O6 our engine seeds per (qid, sample) for
+  run-order determinism (documented deviation).
+* UEF (UEFSpecificity.java:29-66): 10 samples; fit RM-conditional on each
+  sample, KL-div rerank the sample, rank-dist(full, reranked-sample); final
+  = NUM_SAMPLES/Σdist × baseQPP(full).
+* PreComputed (PreComputedPredictor.java:38-56): qid → score lookup.
+"""
+
+from __future__ import annotations
+
+import math
+from zlib import crc32
+
+import numpy as np
+
+from ..eval.correlation import rank_dist, rbo
+from ..fdbk.rlm import (
+    RLM_NUM_TOP_DOCS,
+    TopDocsTermStats,
+    kldiv_rerank,
+    rm_conditional_weights,
+)
+
+NUM_SAMPLES = 10
+SEED = 314152  # reference: utils/IndexUtils.java:21
+
+
+def qpp_idfs(terms: list[str], num_docs: int, df_lookup) -> np.ndarray:
+    """idf vector for NQC: ln(N/df), df=0 → 1 (reference 'avoid 0 error')."""
+    uniq = sorted(set(terms))
+    out = np.empty(len(uniq))
+    for i, t in enumerate(uniq):
+        df = df_lookup(t) or 1
+        out[i] = math.log(num_docs / df)
+    return out
+
+
+def max_idf(terms: list[str], num_docs: int, df_lookup) -> float:
+    best = 0.0
+    for t in set(terms):
+        df = df_lookup(t)
+        if df:
+            best = max(best, math.log(num_docs / df))
+    return best
+
+
+def avg_idf(terms: list[str], num_docs: int, df_lookup) -> float:
+    uniq = set(terms)
+    s = 0.0
+    for t in uniq:
+        df = df_lookup(t)
+        if df:
+            s += math.log(num_docs / df)
+    return s / len(uniq) if uniq else 0.0
+
+
+def nqc(scores: np.ndarray, k: int, terms: list[str], num_docs: int,
+        df_lookup) -> float:
+    rsvs = np.asarray(scores, np.float64)[:k]
+    if rsvs.size == 0:
+        return 0.0
+    var = float(np.mean((rsvs - rsvs.mean()) ** 2))
+    idfs = qpp_idfs(terms, num_docs, df_lookup)
+    avg = float(idfs.mean()) if idfs.size else 1.0
+    return var * avg
+
+
+def cumulative_nqc(scores: np.ndarray, k: int, terms: list[str],
+                   num_docs: int, df_lookup) -> float:
+    s = sum(nqc(scores, i, terms, num_docs, df_lookup) for i in range(1, k))
+    return s / k
+
+
+def _sample_topdocs(rng: np.random.Generator,
+                    topdocs: list[tuple[int, float]],
+                    k: int) -> list[tuple[int, float]]:
+    idx = rng.permutation(len(topdocs))[: min(len(topdocs), k)]
+    return [topdocs[i] for i in idx]
+
+
+def rsd(topdocs: list[tuple[int, float]], k: int, terms: list[str],
+        num_docs: int, df_lookup, qid: str = "",
+        base=nqc) -> float:
+    """topdocs: [(doc_id, score)] ranked. base is the NQC-style estimator."""
+    full_ids = [d for d, _ in topdocs]
+    total = 0.0
+    for i in range(NUM_SAMPLES):
+        rng = np.random.default_rng((SEED, crc32(str(qid).encode()), i))
+        sample = _sample_topdocs(rng, topdocs, min(RLM_NUM_TOP_DOCS, len(topdocs)))
+        est = base(np.array([s for _, s in sample]), k, terms, num_docs, df_lookup)
+        sim = rbo(full_ids, [d for d, _ in sample], k=len(full_ids), p=0.9)
+        total += sim * est
+    return total / NUM_SAMPLES
+
+
+def uef(topdocs: list[tuple[int, float]], doc_vectors: dict[int, dict[str, int]],
+        k: int, terms: list[str], num_docs: int, df_lookup, qid: str = "",
+        base=nqc) -> float:
+    full_ids = [d for d, _ in topdocs]
+    total_dist = 0.0
+    for i in range(NUM_SAMPLES):
+        rng = np.random.default_rng((SEED, crc32(str(qid).encode()), 7919 + i))
+        sample = _sample_topdocs(rng, topdocs, min(RLM_NUM_TOP_DOCS, len(topdocs)))
+        stats = TopDocsTermStats(sample, doc_vectors, len(sample))
+        if not stats.docvecs or stats.sum_sim == 0:
+            continue
+        weights = rm_conditional_weights(stats)
+        reranked = kldiv_rerank(stats, weights, sample)
+        total_dist += rank_dist(full_ids, [d for d, _ in reranked])
+    if total_dist == 0:
+        return 0.0
+    base_est = base(np.array([s for _, s in topdocs]), k, terms, num_docs,
+                    df_lookup)
+    return (NUM_SAMPLES / total_dist) * base_est
+
+
+class PreComputedPredictor:
+    """qid → precomputed score (reference: qpp/PreComputedPredictor.java:38-56)."""
+
+    def __init__(self, mapping: dict[str, float]):
+        self.mapping = {str(k): float(v) for k, v in mapping.items()}
+
+    def __call__(self, qid: str, *_a, **_k) -> float:
+        return self.mapping.get(str(qid), 0.0)
+
+
+QPP_REGISTRY = {
+    "nqc": nqc, "cumnqc": cumulative_nqc, "avgidf": avg_idf,
+    "maxidf": max_idf, "rsd": rsd, "uef": uef,
+}

@@ -114,6 +114,33 @@ class IndexReader:
             self.prefetch([term])
         return self._cache.get(term)
 
+    def df(self, term: str) -> int:
+        tp = self.get_term(term)
+        return tp.df if tp else 0
+
+    # --- forward index (per-doc term vectors) ---
+    def term_vectors(self, doc_ids) -> dict[int, dict[str, int]]:
+        """Per-doc term→tf maps for the given docs — replaces the reference's
+        reader.getTermVector (SURVEY.md §1.1). Reads the staged postings with
+        a doc_id predicate; partitioning assumption: the staged layout is
+        term-oriented, so this is a scan-with-filter — fine for feedback-size
+        doc sets (tens per query); a doc-partitioned forward-index copy is
+        the scale path for bulk exports (SparseVecWriter S8)."""
+        base = os.path.join(self.index_dir, "staged")
+        dirs = sorted(os.path.join(base, p, "kind=p") for p in os.listdir(base)
+                      if p.startswith("part="))
+        ids = sorted(set(int(d) for d in doc_ids))
+        from ..index.build import pads_dirs
+        tbl = pads_dirs(dirs).to_table(
+            columns=["term", "doc_id", "tf"],
+            filter=pc.field("doc_id").isin(ids))
+        out: dict[int, dict[str, int]] = {i: {} for i in ids}
+        for term, doc, tf in zip(tbl["term"].to_pylist(),
+                                 tbl["doc_id"].to_pylist(),
+                                 tbl["tf"].to_pylist()):
+            out[int(doc)][term] = int(tf)
+        return out
+
 
 def _topk_exact(doc_ids: np.ndarray, scores: np.ndarray, k: int
                 ) -> tuple[np.ndarray, np.ndarray]:

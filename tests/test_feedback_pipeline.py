@@ -1,0 +1,67 @@
+"""Feedback + QPP Ray pipelines over a real built index."""
+
+import numpy as np
+import pytest
+
+from lucene_msmarco_ray.pipelines.feedback import (
+    expand_queries,
+    feedback_rerank,
+    qpp_estimates,
+)
+
+QUERIES = {"1": "table value hash", "2": "window sort merge"}
+
+
+@pytest.fixture(scope="module")
+def run_and_index(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from lucene_msmarco_ray.config import EngineConfig
+    from lucene_msmarco_ray.index.build import build_index
+    from lucene_msmarco_ray.search.searcher import retrieve
+    out = str(tmp_path_factory.mktemp("fbidx") / "idx")
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    build_index(ds, out, EngineConfig(analyzer="simple", num_shards=4),
+                text_col="text", id_col="doc_id")
+    qs = rd.from_items([{"qid": q, "text": t} for q, t in QUERIES.items()])
+    run = retrieve(qs, out, k=50, concurrency=1)
+    return run.materialize(), out
+
+
+def test_feedback_rerank_pipeline(run_and_index):
+    run, idx = run_and_index
+    rr = feedback_rerank(run, idx, QUERIES, model="conditional",
+                         concurrency=1).to_pandas()
+    base = run.to_pandas()
+    for qid in QUERIES:
+        g = rr[rr.qid == qid]
+        b = base[base.qid == qid]
+        assert set(g["doc_id"]) == set(b["doc_id"])          # permutation
+        assert g.sort_values("rank")["score"].is_monotonic_decreasing
+
+
+def test_expand_queries_pipeline(run_and_index):
+    run, idx = run_and_index
+    ex = expand_queries(run, idx, QUERIES, concurrency=1).to_pandas()
+    for qid, text in QUERIES.items():
+        g = ex[ex.qid == qid]
+        orig = set(text.split())
+        got = set(g["term"])
+        assert orig <= got
+        assert np.allclose(g[g.term.isin(orig)]["boost"], 0.8)
+        assert len(got - orig) > 0       # expansion terms were added
+
+
+def test_qpp_pipeline(run_and_index):
+    run, idx = run_and_index
+    qp = qpp_estimates(run, idx, QUERIES, k=50, concurrency=1).to_pandas()
+    assert set(qp["qid"]) == set(QUERIES)
+    for col in ("nqc", "cumnqc", "avgidf", "maxidf", "rsd", "uef"):
+        assert col in qp.columns
+        assert (qp[col] >= 0).all()
+    # determinism of seeded samplers across a second invocation
+    qp2 = qpp_estimates(run, idx, QUERIES, k=50, concurrency=1).to_pandas()
+    a = qp.sort_values("qid").reset_index(drop=True)
+    b = qp2.sort_values("qid").reset_index(drop=True)
+    assert a.equals(b)
