@@ -269,6 +269,57 @@ def _rel_annotate_sql(k1: float, b: float) -> str:
 SELECT qid, doc_id, rank, rel::BIGINT AS rel FROM ann"""
 
 
+def _induced_sql(k1: float, b: float) -> str:
+    """LM-JM induced rescoring of the BM25 run (λ=0.2 → odds 0.25)."""
+    bm = _bm25_sql(k1, b)
+    ranked_cte = bm[: bm.rindex(")\nSELECT")] + ")"
+    return ranked_cte + """,
+qset AS (SELECT DISTINCT qid, term FROM qv),
+scored AS (
+  SELECT r.qid, r.doc_id,
+         round(sum(ln(1 + 0.25 * (tf.tf / dl.dl) * (s.n / df.df))), 6) AS score
+  FROM ranked r
+  JOIN qset ON qset.qid = r.qid
+  JOIN tf ON tf.term = qset.term AND tf.doc_id = r.doc_id
+  JOIN df ON df.term = qset.term
+  JOIN dl ON dl.doc_id = r.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2)
+SELECT qid, doc_id,
+       row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::BIGINT
+         AS rank,
+       score
+FROM scored"""
+
+
+def _sparsevec_sql(k1: float, b: float) -> str:
+    """S9: top-10 docs per query, every doc term weighted with the
+    reference's own (buggy) bm25 helper, avgdl constant 57.25."""
+    bm = _bm25_sql(k1, b)
+    ranked_cte = bm[: bm.rindex(")\nSELECT")] + ")"
+    return ranked_cte + """
+SELECT r.qid, r.doc_id, tf.term,
+       round(tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / 57.25)
+             * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))), 6) AS wt
+FROM ranked r
+JOIN tf ON tf.doc_id = r.doc_id
+JOIN df ON df.term = tf.term
+JOIN dl ON dl.doc_id = r.doc_id
+CROSS JOIN stats s
+WHERE r.rank <= 10"""
+
+
+def _bigram_sql() -> str:
+    rows = []
+    for qid, text in GATE_QUERIES:
+        for pos, term in enumerate(text.split()):
+            rows.append(f"('{qid}', {pos}, '{term}')")
+    return ("WITH qp(qid, pos, term) AS (VALUES " + ", ".join(rows) + """)
+SELECT t1.term || '^' || t2.term AS bigram, count(*)::BIGINT AS freq
+FROM qp t1 JOIN qp t2 ON t1.qid = t2.qid AND t1.pos < t2.pos
+GROUP BY 1""")
+
+
 def _qpp_sql(k1: float, b: float, k: int = 50) -> str:
     """NQC / cumulative-NQC / avgIDF / maxIDF per gate query. idf = ln(N/df)
     with the reference's two df=0 conventions (see qpp/methods.py)."""
@@ -480,6 +531,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def _gate_query_map() -> dict[str, str]:
         return dict(GATE_QUERIES)
 
+    def induced(sf_dir: str):
+        from lucene_msmarco_ray.pipelines.feedback import induced_rescore
+        run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
+        idx = _ensure_index(sf_dir)
+        return induced_rescore(run, idx, _gate_query_map(), concurrency=2)
+
+    def lm_docw(sf_dir: str):
+        from lucene_msmarco_ray.pipelines.feedback import lm_doc_weights
+        return lm_doc_weights(_ensure_index(sf_dir))
+
+    def sparsevec_top(sf_dir: str):
+        from lucene_msmarco_ray.pipelines.feedback import sparsevec_topdocs
+        run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
+        idx = _ensure_index(sf_dir)
+        return sparsevec_topdocs(run, idx, k=10, concurrency=2)
+
+    def bigrams(sf_dir: str):
+        import pandas as pd
+
+        from lucene_msmarco_ray.fdbk.srlm import frequent_bigrams
+        out = frequent_bigrams([t.split() for _, t in GATE_QUERIES], top_n=100)
+        return pd.DataFrame(out, columns=["bigram", "freq"])
+
+    def srlm_rerank(sf_dir: str):
+        import pandas as pd
+
+        from lucene_msmarco_ray.fdbk.srlm import SupervisedRLMModel, lm_term_weights
+        from lucene_msmarco_ray.search.searcher import IndexReader
+        idx = _ensure_index(sf_dir)
+        r = IndexReader(idx)
+        qrels = _gate_qrels(sf_dir)
+        rel_docs = {q: g[g.rel >= 2]["docid"].astype(int).head(5).tolist()
+                    for q, g in qrels.groupby("qid")}
+        all_docs = sorted({d for ds_ in rel_docs.values() for d in ds_})
+        vecs = r.term_vectors(all_docs)
+        wts_cache = {d: lm_term_weights(vecs.get(d, {}), r.num_docs, r.df)
+                     for d in all_docs}
+        model = SupervisedRLMModel()
+        model.fit(dict(GATE_QUERIES), rel_docs, lambda d: wts_cache[d])
+        model.prune()
+        run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3).to_pandas()
+        rows = []
+        for qid, text in GATE_QUERIES:
+            g = run[run.qid == qid].sort_values("rank")
+            topdocs = list(zip(g["doc_id"].astype(int),
+                               g["score"].astype(float)))[:50]
+            dvecs = r.term_vectors([d for d, _ in topdocs])
+            out = model.rerank(
+                text, topdocs,
+                lambda d: lm_term_weights(dvecs.get(d, {}), r.num_docs, r.df))
+            for rank, (doc, score) in enumerate(out, start=1):
+                rows.append({"qid": qid, "doc_id": doc, "rank": rank,
+                             "score": round(score, 6)})
+        return pd.DataFrame(rows)
+
+    def rocchio(sf_dir: str):
+        import pandas as pd
+
+        from lucene_msmarco_ray.fdbk.srlm import lm_term_weights, rocchio_expand
+        from lucene_msmarco_ray.search.searcher import IndexReader
+        idx = _ensure_index(sf_dir)
+        r = IndexReader(idx)
+        qrels = _gate_qrels(sf_dir)
+        rel_map = {q: set(g[g.rel >= 2]["docid"].astype(int).head(5))
+                   for q, g in qrels.groupby("qid")}
+        run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3).to_pandas()
+        rows = []
+        for qid, text in GATE_QUERIES:
+            g = run[run.qid == qid].sort_values("rank")
+            topdocs = g["doc_id"].astype(int).tolist()[:20]
+            needed = sorted(set(topdocs) | rel_map.get(qid, set()))
+            vecs = r.term_vectors(needed)
+            out = rocchio_expand(
+                text.split(), [(qid, 1.0)], lambda q: rel_map.get(q),
+                topdocs,
+                lambda d: lm_term_weights(vecs.get(d, {}), r.num_docs, r.df))
+            for term, wt in out:
+                rows.append({"qid": qid, "term": term, "wt": round(wt, 6)})
+        return pd.DataFrame(rows)
+
     def qpp_basic(sf_dir: str):
         from lucene_msmarco_ray.pipelines.feedback import qpp_estimates
         run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
@@ -531,6 +662,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qpp_sampling": qpp_sampling,
         "fdbk_rerank": fdbk_rerank,
         "rm3_expand": rm3_expand,
+        "induced_rescore": induced,
+        "lm_doc_weights": lm_docw,
+        "sparsevec_topdocs": sparsevec_top,
+        "bigram_count": bigrams,
+        "srlm_rerank": srlm_rerank,
+        "rocchio_expand": rocchio,
     }
 
 
@@ -640,6 +777,18 @@ SELECT q_id, vec_id, rank::BIGINT AS rank, sim FROM ranked WHERE rank <= 10""",
         "eval_metrics": _eval_sql(0.7, 0.3),
         "rel_annotate": _rel_annotate_sql(0.7, 0.3),
         "qpp_basic": _qpp_sql(0.7, 0.3),
+        "induced_rescore": _induced_sql(0.7, 0.3),
+        "lm_doc_weights": f"""WITH {_CORE},
+w1 AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + 9.0 * (tf.tf / dl.dl) * (s.n / df.df)) AS w
+  FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.term = tf.term CROSS JOIN stats s),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS z FROM w1 GROUP BY 1)
+SELECT w1.doc_id, w1.term, round(w1.w / nrm.z, 6) AS wt
+FROM w1 JOIN nrm ON nrm.doc_id = w1.doc_id""",
+        "sparsevec_topdocs": _sparsevec_sql(0.7, 0.3),
+        "bigram_count": _bigram_sql(),
         # qpp_sampling (RSD/UEF seeded sampling), fdbk_rerank, rm3_expand:
         # iterative / model-based → rows-only checks.
         # ann_lsh, minhash_pairs, simhash_pairs: approximate / hash-seeded →

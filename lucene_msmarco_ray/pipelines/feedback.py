@@ -151,6 +151,137 @@ class QPPStage:
         return pd.DataFrame([row])
 
 
+class InducedRescoreStage:
+    """One qid group → LM-JM induced rescoring of the run (M10; reference:
+    qrels/RetrievedResults.java:51-96, λ=0.2). Ranks on the 6-dp-rounded
+    score with doc-id tie-break so results are SQL-comparable."""
+
+    __name__ = "induced_rescore"
+
+    def __init__(self, index_dir: str, queries_ref, lam: float = 0.2):
+        self.reader = IndexReader(index_dir)
+        self.queries = ray.get(queries_ref)
+        from ..analysis import get_analyzer
+        st = self.reader.stats
+        self.analyzer = get_analyzer(
+            st["analyzer"], st.get("stopword_file"),
+            st.get("normalize_numbers", True) if st["analyzer"] == "english" else False)
+        self.lam = lam
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        from ..fdbk.srlm import lmjm_weight
+        qid = str(g["qid"].iloc[0])
+        docs = g.sort_values("rank")["doc_id"].astype(int).tolist()
+        vecs = self.reader.term_vectors(docs)
+        qset = set(self.analyzer(self.queries.get(qid, "")))
+        N = self.reader.num_docs
+        rows = []
+        for doc in docs:
+            vec = vecs.get(doc, {})
+            dl = float(sum(vec.values()))
+            s = 0.0
+            for t in qset:
+                tf = vec.get(t)
+                df = self.reader.df(t) if tf else 0
+                if tf and df:
+                    s += lmjm_weight(tf, N, df, dl, self.lam)
+            rows.append((doc, round(s, 6)))
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        return pd.DataFrame({
+            "qid": qid,
+            "doc_id": [d for d, _ in rows],
+            "rank": np.arange(1, len(rows) + 1, dtype=np.int64),
+            "score": [s for _, s in rows],
+        })
+
+
+class SparseVecTopDocsStage:
+    """One qid group → (qid, doc_id, term, wt) rows for its top-k docs, with
+    the reference's own BM25 weight incl. its quirks (S9; reference:
+    indexing/SparseVecWriter.java:117-164, weight :29-38,157)."""
+
+    __name__ = "sparsevec_topdocs"
+
+    def __init__(self, index_dir: str, k: int = 10, k1: float = 1.2,
+                 b: float = 0.75, avgdl_const: float = 57.25):
+        self.reader = IndexReader(index_dir)
+        self.k, self.k1, self.b = k, k1, b
+        self.avgdl_const = avgdl_const
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        from ..sources.extra import sparsevec_bm25_weight
+        qid = str(g["qid"].iloc[0])
+        docs = g.sort_values("rank").head(self.k)["doc_id"].astype(int).tolist()
+        vecs = self.reader.term_vectors(docs)
+        N = self.reader.num_docs
+        out_d, out_t, out_w = [], [], []
+        for doc in docs:
+            vec = vecs.get(doc, {})
+            dl = float(sum(vec.values()))
+            for term, tf in sorted(vec.items()):
+                df = self.reader.df(term)
+                w = sparsevec_bm25_weight(tf, N, df, dl, self.k1, self.b,
+                                          self.avgdl_const)
+                out_d.append(doc)
+                out_t.append(term)
+                out_w.append(round(w, 6))
+        return pd.DataFrame({"qid": qid, "doc_id": out_d, "term": out_t,
+                             "wt": out_w})
+
+
+def induced_rescore(run_ds, index_dir: str, queries: dict[str, str],
+                    lam: float = 0.2, concurrency=(1, 4)):
+    qref = ray.put(dict(queries))
+    return run_ds.groupby("qid").map_groups(
+        InducedRescoreStage, batch_format="pandas", concurrency=concurrency,
+        fn_constructor_kwargs=dict(index_dir=index_dir, queries_ref=qref,
+                                   lam=lam))
+
+
+def sparsevec_topdocs(run_ds, index_dir: str, k: int = 10,
+                      concurrency=(1, 4), **kw):
+    return run_ds.groupby("qid").map_groups(
+        SparseVecTopDocsStage, batch_format="pandas", concurrency=concurrency,
+        fn_constructor_kwargs=dict(index_dir=index_dir, k=k, **kw))
+
+
+def lm_doc_weights(index_dir: str):
+    """M6 as a dataset op: every (doc, term) → L2-normalized LM-idf weight.
+    df map is broadcast (tiny vocab relative to postings; J3 semi-join-then-
+    broadcast pattern); the per-doc normalization runs in groupby(doc_id)."""
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ..index.build import expand_parquet_files
+    seg = pads.dataset(os.path.join(index_dir, "segments")).to_table(
+        columns=["term", "df"])
+    df_ref = ray.put(dict(zip(seg["term"].to_pylist(),
+                              seg["df"].to_pylist())))
+    import json
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        num_docs = json.load(f)["num_docs"]
+
+    base = os.path.join(index_dir, "staged")
+    dirs = sorted(os.path.join(base, p, "kind=p") for p in os.listdir(base)
+                  if p.startswith("part="))
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        from ..fdbk.srlm import lm_term_weights
+        dfm = ray.get(df_ref)
+        vec = dict(zip(g["term"], g["tf"]))
+        wts = lm_term_weights(vec, num_docs, lambda t: dfm.get(t, 0))
+        doc = int(g["doc_id"].iloc[0])
+        return pd.DataFrame({"doc_id": doc, "term": sorted(wts),
+                             "wt": [round(wts[t], 6) for t in sorted(wts)]})
+
+    per_doc.__name__ = "lm_doc_weights"
+    ds = rd.read_parquet(expand_parquet_files(dirs),
+                         columns=["term", "doc_id", "tf"])
+    return ds.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+
+
 def feedback_rerank(run_ds, index_dir: str, queries: dict[str, str],
                     model: str = "conditional",
                     num_top_docs: int = RLM_NUM_TOP_DOCS, concurrency=(1, 4)):
