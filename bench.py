@@ -27,7 +27,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "30000"))
-BENCH_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "200"))
+BENCH_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "1000"))
 
 
 def _corpus_files() -> list[str]:
@@ -83,7 +83,7 @@ def run_bench() -> dict:
     qs = rd.from_arrow(qtbl)
     t0 = time.time()
     run = retrieve(qs, idx_dir, scorer="bm25", k=1000, k1=0.7, b=0.3,
-                   concurrency=max(2, NUM_CPUS // 2), batch_size=16,
+                   concurrency=max(2, NUM_CPUS // 4), batch_size=32,
                    preload=True)
     nrows = run.count()
     timings["corpus_search"] = round(time.time() - t0, 3)

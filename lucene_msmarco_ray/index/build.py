@@ -216,6 +216,9 @@ def build_index(
     resumable builds (one entry per input shard; SURVEY.md I7).
     Returns the stats dict (also persisted to ``stats.json``).
     """
+    import time as _time
+    stage_secs: dict[str, float] = {}
+    _t0 = _time.monotonic()
     os.makedirs(out_dir, exist_ok=True)
     man = Manifest(os.path.join(out_dir, "manifest.json"))
     params = {
@@ -248,7 +251,11 @@ def build_index(
             TokenizeStage(cfg, text_col=text_col, id_col=id_col, key_col=key_col),
             batch_format="pyarrow", batch_size=cfg.tokenize_batch_size,
             concurrency=cfg.tokenize_concurrency)
-        tok.write_parquet(tmp_dir, partition_cols=["kind"])
+        # min_rows_per_file keeps the staged layout from exploding into
+        # per-task micro-files (small files make the downstream shuffle
+        # scheduling-bound)
+        tok.write_parquet(tmp_dir, partition_cols=["kind"],
+                          min_rows_per_file=1 << 18)
         os.replace(tmp_dir, part_dir)
         # lineage: order-independent combination of the per-row content hashes
         meta = pads.dataset(os.path.join(part_dir, "kind=m")).to_table(
@@ -256,6 +263,9 @@ def build_index(
         sha = combine_hashes(meta["sha256"].to_pylist())
         man.mark_partition(pid, sha, meta.num_rows, [])
         man.save()
+
+    stage_secs["tokenize"] = round(_time.monotonic() - _t0, 3)
+    _t0 = _time.monotonic()
 
     # ---- global stats (I4) ----
     meta_dirs = _staged_dirs(out_dir, "m")
@@ -275,22 +285,34 @@ def build_index(
         "stopword_file": cfg.stopword_file,
     }
 
+    stage_secs["stats"] = round(_time.monotonic() - _t0, 3)
+    _t0 = _time.monotonic()
+
     # ---- stage C/D: shuffle-merge postings into segments ----
     seg_dir = os.path.join(out_dir, "segments")
     if not (man.merge_done and os.path.isdir(seg_dir)):
         seg_tmp = seg_dir + ".tmp"
         shutil.rmtree(seg_tmp, ignore_errors=True)
         shutil.rmtree(seg_dir, ignore_errors=True)
-        post = rd.read_parquet(expand_parquet_files(_staged_dirs(out_dir, "p")),
-                               columns=["term", "doc_id", "tf", "dl"])
+        staged_files = expand_parquet_files(_staged_dirs(out_dir, "p"))
+        # size the shuffle: ~128 MB input blocks (tiny blocks make the sort
+        # scheduling-bound — measured 12x slowdown), one output partition per
+        # (shard, salt) group up to a parallelism-friendly floor
+        total_bytes = sum(os.path.getsize(f) for f in staged_files)
+        nblocks = int(max(4, min(total_bytes // (128 << 20) + 1, 10_000)))
+        n_groups = cfg.num_shards * n_salt
+        nparts = int(min(n_groups, max(32, nblocks)))
+        post = rd.read_parquet(staged_files,
+                               columns=["term", "doc_id", "tf", "dl"],
+                               override_num_blocks=nblocks)
         post = post.map_batches(
             _AddGroupKey(cfg.num_shards, cfg.salt_docs_per_bucket, n_salt),
             batch_format="pandas")
-        runs = post.groupby("gkey").map_groups(
+        runs = post.groupby("gkey", num_partitions=nparts).map_groups(
             _EncodeGroup(cfg.block_size, n_salt), batch_format="pandas")
         if n_salt > 1:
-            runs = runs.groupby("shard").map_groups(
-                _MergeShardRuns(), batch_format="pandas")
+            runs = runs.groupby("shard", num_partitions=cfg.num_shards) \
+                .map_groups(_MergeShardRuns(), batch_format="pandas")
         runs.write_parquet(seg_tmp, partition_cols=["shard"])
         os.replace(seg_tmp, seg_dir)
         # cheap metrics from parquet footers only
@@ -305,6 +327,8 @@ def build_index(
         if "num_terms" in prior:
             stats["num_terms"] = prior["num_terms"]
 
+    stage_secs["merge"] = round(_time.monotonic() - _t0, 3)
+    stats["stage_secs"] = stage_secs
     man.set_stats(stats)
     man.save()
     with open(os.path.join(out_dir, "stats.json"), "w") as f:

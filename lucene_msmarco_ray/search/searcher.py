@@ -53,6 +53,8 @@ class IndexReader:
         self.num_shards = int(self.stats["num_shards"])
         self._load_doc_lens()
         self._cache: dict[str, TermPostings | None] = {}
+        self._decoded: dict[str, tuple] = {}
+        self._decoded_cap = 1024
         self._preloaded = False
         if preload:
             self._preload_all()
@@ -114,6 +116,23 @@ class IndexReader:
             self.prefetch([term])
         return self._cache.get(term)
 
+    def get_postings_arrays(self, term: str):
+        """Decoded (docs, tfs) with a bounded per-reader cache — heavy terms
+        recur across queries, so decode once per actor, not per query."""
+        hit = self._decoded.get(term)
+        if hit is not None:
+            return hit
+        tp = self.get_term(term)
+        if tp is None:
+            return None
+        arrays = decode_all(tp)
+        if len(self._decoded) >= self._decoded_cap:
+            # drop ~half, oldest first (insertion-ordered dict)
+            for k in list(self._decoded)[: self._decoded_cap // 2]:
+                del self._decoded[k]
+        self._decoded[term] = arrays
+        return arrays
+
     def df(self, term: str) -> int:
         tp = self.get_term(term)
         return tp.df if tp else 0
@@ -158,30 +177,49 @@ def _topk_exact(doc_ids: np.ndarray, scores: np.ndarray, k: int
     return doc_ids[order], scores[order]
 
 
+_DENSE_ACC_LIMIT = 50_000_000   # dense accumulator cap: ~400 MB float64
+
+
 def score_query_taat(reader: IndexReader, qterms: dict[str, float], k: int,
                      scorer) -> tuple[np.ndarray, np.ndarray]:
     """Term-at-a-time exhaustive scoring (vectorized numpy accumulation).
-    Used as the always-correct path and the oracle for block-max WAND."""
-    parts_d, parts_s = [], []
+    Always-correct path and the oracle for block-max WAND. Dense doc-id
+    accumulator (ids are dense, SURVEY.md I1) when the id space fits;
+    sort-based merge beyond that."""
     N, avgdl, total_len = reader.num_docs, reader.avgdl, reader.total_len
+    size = reader._dl.size
+    dense = 0 < size <= _DENSE_ACC_LIMIT
+    if dense:
+        acc = np.zeros(size, np.float64)
+        matched = np.zeros(size, bool)
+    parts_d, parts_s = [], []
+    hit = False
     for term, boost in qterms.items():
-        tp = reader.get_term(term)
-        if tp is None:
+        arrays = reader.get_postings_arrays(term)
+        if arrays is None:
             continue
-        docs, tfs = decode_all(tp)
+        docs, tfs = arrays
+        tp = reader.get_term(term)
         dl = reader.doc_len(docs)
         contrib = boost * scorer.term_scores(
             tfs.astype(np.float64), dl.astype(np.float64),
             tp.df, tp.cf, N, avgdl, total_len)
-        parts_d.append(docs)
-        parts_s.append(contrib)
-    if not parts_d:
+        hit = True
+        if dense:
+            acc[docs] += contrib       # doc ids unique within one term
+            matched[docs] = True
+        else:
+            parts_d.append(docs)
+            parts_s.append(contrib)
+    if not hit:
         return np.empty(0, np.int64), np.empty(0, np.float64)
+    if dense:
+        cand = np.flatnonzero(matched)
+        return _topk_exact(cand, acc[cand], k)
     all_d = np.concatenate(parts_d)
     all_s = np.concatenate(parts_s)
     uniq, inv = np.unique(all_d, return_inverse=True)
-    acc = np.bincount(inv, weights=all_s)
-    return _topk_exact(uniq, acc, k)
+    return _topk_exact(uniq, np.bincount(inv, weights=all_s), k)
 
 
 class SearchStage:
