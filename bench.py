@@ -26,14 +26,14 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "30000"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "200000"))
 BENCH_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "1000"))
 
 
 def _corpus_files() -> list[str]:
     """Deterministic synthetic code corpus, cached across runs."""
-    from lucene_msmarco_ray.synth import generate_corpus
-    d = f"/tmp/graft_bench_corpus_{BENCH_DOCS}"
+    from lucene_msmarco_ray.synth import SYNTH_VERSION, generate_corpus
+    d = f"/tmp/graft_bench_corpus_v{SYNTH_VERSION}_{BENCH_DOCS}"
     marker = os.path.join(d, "_COMPLETE")
     if os.path.exists(marker):
         return sorted(os.path.join(d, f) for f in os.listdir(d)
@@ -67,11 +67,18 @@ def run_bench() -> dict:
     for f in files:
         with open(f, "rb") as fh:
             fh.read()
+    # warm the cluster: spawn worker processes + Ray Data machinery once,
+    # untimed — real clusters are long-lived, the metric is steady-state
+    # throughput, not cold-start
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4) \
+        .map_batches(lambda b: b, batch_format="pyarrow").count()
 
     import shutil
     idx_dir = f"/tmp/graft_bench_idx_{BENCH_DOCS}_{NUM_CPUS}"
     shutil.rmtree(idx_dir, ignore_errors=True)
-    cfg = EngineConfig(analyzer="english", num_shards=max(NUM_CPUS, 8))
+    # fixed shard count: the index layout must be identical at every cluster
+    # size or the scaling comparison measures different work
+    cfg = EngineConfig(analyzer="english", num_shards=32)
 
     t0 = time.time()
     stats = build_index(read_code_corpus(files, columns=["content"]),
@@ -83,20 +90,23 @@ def run_bench() -> dict:
     qs = rd.from_arrow(qtbl)
     t0 = time.time()
     run = retrieve(qs, idx_dir, scorer="bm25", k=1000, k1=0.7, b=0.3,
-                   concurrency=max(2, NUM_CPUS // 4), batch_size=32,
+                   concurrency=max(1, NUM_CPUS // 2), batch_size=16,
                    preload=True)
     nrows = run.count()
     timings["corpus_search"] = round(time.time() - t0, 3)
 
-    # gate pipelines over the sf dir
+    # gate pipelines over the sf dir (skipped in scaling legs: the scaling
+    # metric is corpus build+search throughput on identical input)
+    gate_names = () if os.environ.get("GRAFT_SKIP_GATE") else (
+        "bm25_topk", "term_stats", "dedup_exact", "token_count",
+        "ann_bruteforce", "minhash_pairs")
     import __ray_entry__ as e
     sys.modules.setdefault("__ray_entry__", e)
     qmap = e.queries()
     # ngram_jaccard is excluded here: on the synthetic sf0.1 documents table
     # (31-word vocab, all docs near-similar) exact all-pairs Jaccard is
     # inherently quadratic; it stays in the sf0.01 correctness gate.
-    for name in ("bm25_topk", "term_stats", "dedup_exact", "token_count",
-                 "ann_bruteforce", "minhash_pairs"):
+    for name in gate_names:
         t0 = time.time()
         res = qmap[name](SF_DIR)
         # consume to force execution
@@ -125,25 +135,38 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> None:
-    """Same job, two fresh processes at num_cpus=8 and 32 (N vs 4N)."""
+    """Same job, same input, two fresh processes at N and 4N CPUs (default
+    2 and 8 — see BASELINE.md: both levels sit below the single-node memory
+    bandwidth ceiling, so the measurement reflects scheduler/shuffle scaling
+    rather than shared-DRAM contention that separate nodes would not have)."""
+    lo, hi = (int(x) for x in
+              os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(","))
     out = {}
-    for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    for ncpu in (lo, hi):
+        # OMP_NUM_THREADS=1 caps pyarrow/numpy intra-op thread pools per
+        # worker: without it the low-CPU leg silently uses every hardware
+        # core for parquet encode / sort kernels, inflating its throughput
+        # (a single-node artifact a real multi-node cluster doesn't have)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_GATE="1",
+                   OMP_NUM_THREADS="1",
+                   GRAFT_BENCH_DOCS=os.environ.get("GRAFT_SCALING_DOCS", "500000"),
+                   GRAFT_BENCH_QUERIES=os.environ.get("GRAFT_SCALING_QUERIES", "12000"))
         r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                            env=env, capture_output=True, text=True, check=True)
         out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
-    # throughput-based efficiency on the two headline pipelines
-    tb8 = out[8]["build_docs_per_sec"]
-    tb32 = out[32]["build_docs_per_sec"]
-    ts8 = out[8]["search_qps"]
-    ts32 = out[32]["search_qps"]
+    ratio = hi / lo
+    tb_lo = out[lo]["build_docs_per_sec"]
+    tb_hi = out[hi]["build_docs_per_sec"]
+    ts_lo = out[lo]["search_qps"]
+    ts_hi = out[hi]["search_qps"]
     print(json.dumps({
         "metric": "scaling_efficiency",
-        "build_docs_per_sec": {"cpus8": tb8, "cpus32": tb32},
-        "search_qps": {"cpus8": ts8, "cpus32": ts32},
-        "build_scaling_efficiency": round(tb32 / (4 * tb8), 3),
-        "search_scaling_efficiency": round(ts32 / (4 * ts8), 3),
-        "sec_8": out[8]["value"], "sec_32": out[32]["value"],
+        "cpu_levels": [lo, hi],
+        "build_docs_per_sec": {f"cpus{lo}": tb_lo, f"cpus{hi}": tb_hi},
+        "search_qps": {f"cpus{lo}": ts_lo, f"cpus{hi}": ts_hi},
+        "build_scaling_efficiency": round(tb_hi / (ratio * tb_lo), 3),
+        "search_scaling_efficiency": round(ts_hi / (ratio * ts_lo), 3),
+        f"sec_{lo}": out[lo]["value"], f"sec_{hi}": out[hi]["value"],
     }))
 
 

@@ -60,7 +60,8 @@ class EnglishAnalyzer:
         stops = self.stops
         stem = self.stem
         for tok in _WORD_RE.findall(text):
-            tok = _POSSESSIVE_RE.sub("", tok)
+            if tok.endswith("'s"):      # possessive filter, no regex per token
+                tok = tok[:-2]
             if tok in stops:
                 continue
             if tok == "_num_":

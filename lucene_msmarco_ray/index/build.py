@@ -105,51 +105,45 @@ def term_postings_from_row(row: dict) -> TermPostings:
     )
 
 
-class _AddGroupKey:
-    """postings batch → + gkey = shard * n_salt + salt (vectorized: terms are
-    factorized per batch, crc32 touches unique terms only)."""
+class _EncodeGkeyTask:
+    """One (shard, salt) group — all postings files of one gkey directory —
+    → encoded term-run rows. The 'shuffle' already happened in the staged
+    partitioned write; this task just reads its group's files."""
 
-    def __init__(self, num_shards: int, bucket: int, n_salt: int):
-        self.S, self.bucket, self.n_salt = num_shards, bucket, n_salt
+    def __init__(self, block_size: int):
+        self.block_size = block_size
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        codes, uniq = pd.factorize(df["term"])
-        S = self.S
-        shard_u = np.fromiter((crc32(t.encode("utf-8")) % S for t in uniq),
-                              np.int64, len(uniq))
-        salt = df["doc_id"].to_numpy() // self.bucket
-        df = df.copy()
-        df["gkey"] = shard_u[codes] * self.n_salt + salt
-        return df
-
-
-class _EncodeGroup:
-    """All postings of one (shard, salt) group → encoded term-run rows."""
-
-    __name__ = "encode_group"  # map_groups wraps plain functions; give a name
-
-    def __init__(self, block_size: int, n_salt: int):
-        self.block_size, self.n_salt = block_size, n_salt
-
-    def __call__(self, g: pd.DataFrame) -> pa.Table:
-        if len(g) == 0:
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        from ..stages.tokenize import GKEY_SALT_SPAN
+        out = []
+        for _, row in batch.iterrows():
+            gkey = int(row["gkey"])
+            shard = gkey // GKEY_SALT_SPAN
+            tbl = pa.concat_tables([
+                pq.read_table(f, columns=["term", "doc_id", "tf", "dl"])
+                for f in row["files"]])
+            g = tbl.to_pandas()
+            if len(g) == 0:
+                continue
+            codes, uniq = pd.factorize(g["term"])
+            doc = g["doc_id"].to_numpy()
+            tf = g["tf"].to_numpy()
+            dl = g["dl"].to_numpy()
+            order = np.lexsort((doc, codes))
+            codes, doc, tf, dl = codes[order], doc[order], tf[order], dl[order]
+            bounds = np.concatenate((
+                [0], np.flatnonzero(codes[1:] != codes[:-1]) + 1, [len(codes)]))
+            terms, tps = [], []
+            for i in range(len(bounds) - 1):
+                s, e = bounds[i], bounds[i + 1]
+                terms.append(uniq[codes[s]])
+                tps.append(encode_term_postings(doc[s:e], tf[s:e], dl[s:e],
+                                                self.block_size))
+            out.append(rows_to_segment_table(
+                terms, np.full(len(terms), shard), tps))
+        if not out:
             return rows_to_segment_table([], np.empty(0), [])
-        shard = int(g["gkey"].iloc[0]) // self.n_salt
-        codes, uniq = pd.factorize(g["term"])
-        doc = g["doc_id"].to_numpy()
-        tf = g["tf"].to_numpy()
-        dl = g["dl"].to_numpy()
-        order = np.lexsort((doc, codes))
-        codes, doc, tf, dl = codes[order], doc[order], tf[order], dl[order]
-        bounds = np.concatenate((
-            [0], np.flatnonzero(codes[1:] != codes[:-1]) + 1, [len(codes)]))
-        terms, tps = [], []
-        for i in range(len(bounds) - 1):
-            s, e = bounds[i], bounds[i + 1]
-            terms.append(uniq[codes[s]])
-            tps.append(encode_term_postings(doc[s:e], tf[s:e], dl[s:e],
-                                            self.block_size))
-        return rows_to_segment_table(terms, np.full(len(terms), shard), tps)
+        return pa.concat_tables(out)
 
 
 class _MergeShardRuns:
@@ -185,6 +179,19 @@ def expand_parquet_files(dirs: list[str]) -> list[str]:
         for root, _, fs in os.walk(d):
             out.extend(os.path.join(root, f) for f in fs if f.endswith(".parquet"))
     return sorted(out)
+
+
+def _gkey_files(out_dir: str) -> dict[int, list[str]]:
+    """gkey → parquet files across all staged build partitions."""
+    out: dict[int, list[str]] = {}
+    for pdir in _staged_dirs(out_dir, "p"):
+        for entry in sorted(os.listdir(pdir)):
+            if not entry.startswith("gkey="):
+                continue
+            k = int(entry.split("=", 1)[1])
+            out.setdefault(k, []).extend(
+                expand_parquet_files([os.path.join(pdir, entry)]))
+    return out
 
 
 def _staged_dirs(out_dir: str, kind: str) -> list[str]:
@@ -251,29 +258,42 @@ def build_index(
             TokenizeStage(cfg, text_col=text_col, id_col=id_col, key_col=key_col),
             batch_format="pyarrow", batch_size=cfg.tokenize_batch_size,
             concurrency=cfg.tokenize_concurrency)
-        # min_rows_per_file keeps the staged layout from exploding into
-        # per-task micro-files (small files make the downstream shuffle
-        # scheduling-bound)
-        tok.write_parquet(tmp_dir, partition_cols=["kind"],
-                          min_rows_per_file=1 << 18)
+        # NOTE: no min_rows_per_file here — it makes the Write operator
+        # coalesce blocks into a couple of giant single-threaded parquet
+        # encodes (measured 40s vs 6s at 200k docs); file granularity is
+        # already governed by the upstream block size (one per row group)
+        tok.write_parquet(tmp_dir, partition_cols=["kind", "gkey"])
         os.replace(tmp_dir, part_dir)
-        # lineage: order-independent combination of the per-row content hashes
-        meta = pads.dataset(os.path.join(part_dir, "kind=m")).to_table(
-            columns=["sha256"])
-        sha = combine_hashes(meta["sha256"].to_pylist())
-        man.mark_partition(pid, sha, meta.num_rows, [])
+        # lineage: order-independent combination of the per-row content
+        # hashes — XOR is computed per block in parallel, driver only folds
+        # the per-block digests
+        meta_files = expand_parquet_files([os.path.join(part_dir, "kind=m")])
+
+        def _xor_block(batch: pa.Table) -> pa.Table:
+            acc = np.zeros(32, dtype=np.uint8)
+            for h in batch["sha256"].to_pylist():
+                acc ^= np.frombuffer(bytes.fromhex(h), dtype=np.uint8)
+            return pa.table({"xor": pa.array([acc.tobytes()], pa.binary())})
+
+        parts = rd.read_parquet(meta_files, columns=["sha256"]) \
+            .map_batches(_xor_block, batch_format="pyarrow").take_all()
+        acc = np.zeros(32, dtype=np.uint8)
+        for row in parts:
+            acc ^= np.frombuffer(row["xor"], dtype=np.uint8)
+        import hashlib as _hashlib
+        sha = _hashlib.sha256(acc.tobytes()).hexdigest()
+        nrows = sum(pq.read_metadata(f).num_rows for f in meta_files)
+        man.mark_partition(pid, sha, nrows, [])
         man.save()
 
     stage_secs["tokenize"] = round(_time.monotonic() - _t0, 3)
     _t0 = _time.monotonic()
 
-    # ---- global stats (I4) ----
-    meta_dirs = _staged_dirs(out_dir, "m")
-    meta_ds = pads_dirs(meta_dirs)
-    ndocs = meta_ds.count_rows()
-    total_len = 0
-    for b in meta_ds.to_batches(columns=["dl"]):
-        total_len += int(np.sum(b["dl"].to_numpy(zero_copy_only=False)))
+    # ---- global stats (I4) — footer row counts + parallel column sum ----
+    meta_files = expand_parquet_files(_staged_dirs(out_dir, "m"))
+    ndocs = sum(pq.read_metadata(f).num_rows for f in meta_files)
+    total_len = int(rd.read_parquet(meta_files, columns=["dl"]).sum("dl")) \
+        if ndocs else 0
     avgdl = (total_len / ndocs) if ndocs else 0.0
     n_salt = max(1, int(np.ceil(ndocs / cfg.salt_docs_per_bucket))) if ndocs else 1
 
@@ -294,22 +314,16 @@ def build_index(
         seg_tmp = seg_dir + ".tmp"
         shutil.rmtree(seg_tmp, ignore_errors=True)
         shutil.rmtree(seg_dir, ignore_errors=True)
-        staged_files = expand_parquet_files(_staged_dirs(out_dir, "p"))
-        # size the shuffle: ~128 MB input blocks (tiny blocks make the sort
-        # scheduling-bound — measured 12x slowdown), one output partition per
-        # (shard, salt) group up to a parallelism-friendly floor
-        total_bytes = sum(os.path.getsize(f) for f in staged_files)
-        nblocks = int(max(4, min(total_bytes // (128 << 20) + 1, 10_000)))
-        n_groups = cfg.num_shards * n_salt
-        nparts = int(min(n_groups, max(32, nblocks)))
-        post = rd.read_parquet(staged_files,
-                               columns=["term", "doc_id", "tf", "dl"],
-                               override_num_blocks=nblocks)
-        post = post.map_batches(
-            _AddGroupKey(cfg.num_shards, cfg.salt_docs_per_bucket, n_salt),
-            batch_format="pandas")
-        runs = post.groupby("gkey", num_partitions=nparts).map_groups(
-            _EncodeGroup(cfg.block_size, n_salt), batch_format="pandas")
+        # the staged write already partitioned postings by gkey: the merge is
+        # one independent task per (shard, salt) group — no all-to-all
+        # operator (Ray's sort shuffle showed 2x run-to-run wall variance
+        # here; the partitioned-write shuffle is deterministic and each gkey
+        # directory is independently resumable)
+        plan = [{"gkey": k, "files": fs}
+                for k, fs in sorted(_gkey_files(out_dir).items())]
+        runs = rd.from_items(plan, override_num_blocks=max(1, len(plan))) \
+            .map_batches(_EncodeGkeyTask(cfg.block_size), batch_size=1,
+                         batch_format="pandas")
         if n_salt > 1:
             runs = runs.groupby("shard", num_partitions=cfg.num_shards) \
                 .map_groups(_MergeShardRuns(), batch_format="pandas")

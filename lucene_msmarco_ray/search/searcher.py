@@ -55,6 +55,12 @@ class IndexReader:
         self._cache: dict[str, TermPostings | None] = {}
         self._decoded: dict[str, tuple] = {}
         self._decoded_cap = 1024
+        # per-(term, scorer) contribution cache: a term's per-posting score
+        # is query-independent, so heavy terms are scored ONCE per actor;
+        # bounded by bytes, hottest-first eviction (insertion-ordered)
+        self._contrib: dict[tuple, tuple] = {}
+        self._contrib_bytes = 0
+        self._contrib_budget = 256 << 20
         self._preloaded = False
         if preload:
             self._preload_all()
@@ -133,6 +139,31 @@ class IndexReader:
         self._decoded[term] = arrays
         return arrays
 
+    def get_scored_postings(self, term: str, scorer):
+        """(docs, per-posting score contributions) for one term under one
+        scorer — cached: the contribution vector does not depend on the
+        query, only on (term, scorer params)."""
+        key = (term, repr(scorer))
+        hit = self._contrib.get(key)
+        if hit is not None:
+            return hit
+        arrays = self.get_postings_arrays(term)
+        if arrays is None:
+            return None
+        docs, tfs = arrays
+        tp = self.get_term(term)
+        contrib = scorer.term_scores(
+            tfs.astype(np.float64), self.doc_len(docs).astype(np.float64),
+            tp.df, tp.cf, self.num_docs, self.avgdl, self.total_len)
+        nbytes = docs.nbytes + contrib.nbytes
+        while self._contrib and self._contrib_bytes + nbytes > self._contrib_budget:
+            k, (d, c) = next(iter(self._contrib.items()))
+            self._contrib_bytes -= d.nbytes + c.nbytes
+            del self._contrib[k]
+        self._contrib[key] = (docs, contrib)
+        self._contrib_bytes += nbytes
+        return docs, contrib
+
     def df(self, term: str) -> int:
         tp = self.get_term(term)
         return tp.df if tp else 0
@@ -195,15 +226,11 @@ def score_query_taat(reader: IndexReader, qterms: dict[str, float], k: int,
     parts_d, parts_s = [], []
     hit = False
     for term, boost in qterms.items():
-        arrays = reader.get_postings_arrays(term)
-        if arrays is None:
+        scored = reader.get_scored_postings(term, scorer)
+        if scored is None:
             continue
-        docs, tfs = arrays
-        tp = reader.get_term(term)
-        dl = reader.doc_len(docs)
-        contrib = boost * scorer.term_scores(
-            tfs.astype(np.float64), dl.astype(np.float64),
-            tp.df, tp.cf, N, avgdl, total_len)
+        docs, base_contrib = scored
+        contrib = base_contrib if boost == 1.0 else boost * base_contrib
         hit = True
         if dense:
             acc[docs] += contrib       # doc ids unique within one term
@@ -281,7 +308,14 @@ def retrieve(queries_ds, index_dir: str, *, scorer: str = "bm25", k: int = 1000,
     """queries (qid, text) → run dataset (qid, doc_id, rank, score).
 
     ``concurrency`` sizes the searcher actor pool (callable class ⇒ actors;
-    an (min, max) tuple lets the pool autoscale with query volume)."""
+    an (min, max) tuple lets the pool autoscale with query volume).
+
+    The query set is repartitioned so every actor gets work: query tables
+    usually arrive as ONE block (from_arrow/from_items), and one block means
+    one task on one actor regardless of pool size. 8 blocks per actor keeps
+    the pool load-balanced (per-query cost varies ~2x with term weight)."""
+    hi = concurrency[1] if isinstance(concurrency, tuple) else concurrency
+    queries_ds = queries_ds.repartition(max(8 * hi, 8))
     return queries_ds.map_batches(
         SearchStage,
         fn_constructor_kwargs=dict(index_dir=index_dir, scorer=scorer, k=k,

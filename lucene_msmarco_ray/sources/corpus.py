@@ -94,7 +94,12 @@ def read_code_corpus(paths: str | list[str], columns: list[str] | None = None,
     cols = columns
     if cols is not None:
         cols = sorted(set(cols) | set(key_cols))
-    ds = rd.from_items(plan)
-    # batch_size=1: one task per row group — the read parallel unit
+    # one block per descriptor → one task per row group. Two traps avoided:
+    # from_items packs items into one block unless override_num_blocks is
+    # set, and downstream operator fusion would bundle the 1-row descriptor
+    # blocks into a single task to satisfy the downstream batch_size —
+    # num_cpus=0.99 gives this stage a distinct resource request, which
+    # blocks fusion and keeps one read task per row group.
+    ds = rd.from_items(plan, override_num_blocks=len(plan))
     return ds.map_batches(_ReadRowGroup(cols, key_cols), batch_size=1,
-                          batch_format="pyarrow")
+                          batch_format="pyarrow", num_cpus=0.99)

@@ -33,6 +33,7 @@ META_KIND = "m"
 
 STAGED_SCHEMA = pa.schema([
     ("kind", pa.string()),
+    ("gkey", pa.int64()),             # shard*2^20 + salt; -1 for meta rows
     ("term", pa.string()),
     ("doc_id", pa.int64()),
     ("tf", pa.int32()),
@@ -41,9 +42,18 @@ STAGED_SCHEMA = pa.schema([
     ("sha256", pa.string()),
 ])
 
+GKEY_SALT_SPAN = 1 << 20   # salts per shard in the gkey encoding
+
 
 class TokenizeStage:
-    """corpus batch (pyarrow) → staged table of postings + meta rows."""
+    """corpus batch (pyarrow) → staged table of postings + meta rows.
+
+    Each posting row carries ``gkey = shard(term) * 2^20 + salt(doc_id)`` so
+    the staged Parquet write (``partition_cols=["kind", "gkey"]``) doubles as
+    the shuffle: the posting-merge stage just reads each gkey directory —
+    no all-to-all operator (whose wall time proved 2x-variable at this
+    sandbox's scale; the partitioned write is deterministic and resumable).
+    """
 
     def __init__(self, cfg: EngineConfig, text_col: str = "text",
                  id_col: str = "doc_id", key_col: str | None = None,
@@ -55,6 +65,9 @@ class TokenizeStage:
         self.id_col = id_col
         self.key_col = key_col
         self.hash_content = hash_content
+        self.num_shards = cfg.num_shards
+        self.salt_bucket = cfg.salt_docs_per_bucket
+        self._shard_cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
@@ -92,9 +105,22 @@ class TokenizeStage:
         np_dls = np.concatenate(p_dls) if p_dls else np.empty(0, np.int32)
         npost = len(p_terms)
 
+        # gkey: crc32-shard per unique term (cached across batches) + doc salt
+        from zlib import crc32
+        cache = self._shard_cache
+        shards = np.empty(npost, np.int64)
+        for i, t in enumerate(p_terms):
+            s = cache.get(t)
+            if s is None:
+                s = crc32(t.encode("utf-8")) % self.num_shards
+                cache[t] = s
+            shards[i] = s
+        gkey = shards * GKEY_SALT_SPAN + np_docs // self.salt_bucket
+
         return pa.Table.from_arrays(
             [
                 pa.array([POSTINGS_KIND] * npost + [META_KIND] * n_docs),
+                pa.array(np.concatenate([gkey, np.full(n_docs, -1, np.int64)])),
                 pa.array(p_terms + [""] * n_docs, type=pa.string()),
                 pa.array(np.concatenate([np_docs, ids.astype(np.int64)])),
                 pa.array(np.concatenate([np_tfs, np.zeros(n_docs, np.int32)])),

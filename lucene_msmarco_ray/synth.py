@@ -18,6 +18,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+SYNTH_VERSION = 3   # bump to invalidate cached corpora under /tmp
+
 _LANG_EXT = {"py": "py", "java": "java", "c": "c", "go": "go", "js": "js"}
 
 _HEAVY = ["return", "value", "index", "data", "result"]
@@ -28,20 +30,32 @@ _STOPS = ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"]
 
 
 def _vocab(rng: np.random.Generator, size: int = 2000) -> list[str]:
-    roots = ["buf", "ptr", "iter", "node", "hash", "heap", "byte", "page",
-             "lock", "pool", "task", "span", "slot", "leaf", "tree", "list",
-             "blk", "seg", "doc", "term", "post", "freq", "norm", "sort"]
-    suff = ["", "_id", "_len", "_cnt", "_off", "_ptr", "er", "s", "ing", "ed",
-            "_map", "_set", "_arr", "_buf", "x", "2"]
-    out = []
-    for r in roots:
-        for s in suff:
-            out.append(r + s)
-    i = 0
-    while len(out) < size:
-        out.append(f"sym{i}")
-        i += 1
-    return out[:size]
+    """~``size`` identifiers that survive the analysis chain DISTINCT (the
+    stems must not collapse, or every query term becomes a worst-case heavy
+    term); a few suffixed forms are layered on top to exercise stemming."""
+    cons = "bcdfghjklmnpqrstvwz"
+    vowel = "aeiou"
+    roots = []
+    seen = set()
+    while len(roots) < size:
+        w = "".join([
+            cons[int(rng.integers(len(cons)))],
+            vowel[int(rng.integers(len(vowel)))],
+            cons[int(rng.integers(len(cons)))],
+            vowel[int(rng.integers(len(vowel)))],
+            cons[int(rng.integers(len(cons)))],
+        ])
+        if w not in seen:
+            seen.add(w)
+            roots.append(w)
+    suffixed = [r + s for r, s in zip(roots[:200],
+                                      ["_id", "_len", "_off", "_map"] * 50)]
+    return (roots + suffixed)[:size + 200]
+
+
+def _zipf_probs(n: int) -> np.ndarray:
+    p = 1.0 / np.arange(1, n + 1, dtype=np.float64)
+    return p / p.sum()
 
 
 def generate_corpus(n_docs: int, seed: int = 42, n_files: int = 4,
@@ -65,17 +79,26 @@ def generate_corpus(n_docs: int, seed: int = 42, n_files: int = 4,
                         for _ in range(min(n_docs, 50))])[  # few commits, reused
         rng.integers(0, min(n_docs, 50), n_docs)]
 
+    vocab_p = _zipf_probs(len(vocab))   # Zipf-ish df distribution
+    # vectorized: draw one flat token stream, split per doc
+    total = int(lens.sum())
+    flat = rng.choice(vocab, total, p=vocab_p)
+    bounds = np.cumsum(lens)[:-1]
+    heavy_mask = rng.random(n_docs) < 0.6   # heavy terms in >50% of docs
+    n_extras = np.maximum(1, lens // 20)
+    extra_stems = rng.choice(stem_words, int(n_extras.sum()))
+    extra_nums = rng.integers(-999, 10_000, int(n_extras.sum()))
+    e_bounds = np.concatenate(([0], np.cumsum(n_extras)))
     contents = []
-    for i in range(n_docs):
-        L = int(lens[i])
-        body = list(rng.choice(vocab, L))
-        # heavy terms in >50% of docs
-        if rng.random() < 0.6:
-            body[: max(1, L // 10)] = rng.choice(heavy, max(1, L // 10))
-        # stemmable + numbers sprinkled in
-        n_extra = max(1, L // 20)
-        body.extend(rng.choice(stem_words, n_extra))
-        body.extend(str(x) for x in rng.integers(-999, 10_000, n_extra))
+    for i, body_arr in enumerate(np.split(flat, bounds)):
+        body = list(body_arr)
+        L = len(body)
+        if heavy_mask[i]:
+            nh = max(1, L // 10)
+            body[:nh] = heavy[(i + np.arange(nh)) % len(heavy)]
+        s, e = e_bounds[i], e_bounds[i + 1]
+        body.extend(extra_stems[s:e])
+        body.extend(str(x) for x in extra_nums[s:e])
         contents.append(" ".join(body))
 
     keys = np.array([f"{r}/{p}@{c}" for r, p, c in zip(repos, paths, commits)])
@@ -97,7 +120,9 @@ def generate_corpus(n_docs: int, seed: int = 42, n_files: int = 4,
         if part.num_rows == 0:
             break
         path = os.path.join(out_dir, f"corpus-{f:04d}.parquet")
-        pq.write_table(part, path)
+        # small row groups → fine-grained read/tokenize tasks (the read plan
+        # is one task per row group; coarse groups leave straggler waves)
+        pq.write_table(part, path, row_group_size=8192)
         files.append(path)
     return files
 
