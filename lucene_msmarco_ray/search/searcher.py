@@ -81,6 +81,12 @@ class IndexReader:
     def doc_len(self, doc_ids: np.ndarray) -> np.ndarray:
         return self._dl[doc_ids]
 
+    def _acc_buffers(self) -> tuple[np.ndarray, np.ndarray]:
+        if not hasattr(self, "_acc"):
+            self._acc = np.zeros(self._dl.size, np.float64)
+            self._match = np.zeros(self._dl.size, bool)
+        return self._acc, self._match
+
     # --- term postings ---
     def _shard_dir(self, shard: int) -> str:
         return os.path.join(self.index_dir, "segments", f"shard={shard}")
@@ -221,8 +227,9 @@ def score_query_taat(reader: IndexReader, qterms: dict[str, float], k: int,
     size = reader._dl.size
     dense = 0 < size <= _DENSE_ACC_LIMIT
     if dense:
-        acc = np.zeros(size, np.float64)
-        matched = np.zeros(size, bool)
+        # reuse per-reader buffers: fresh np.zeros page-faults the whole
+        # accumulator on every query (16 MB per 2M docs)
+        acc, matched = reader._acc_buffers()
     parts_d, parts_s = [], []
     hit = False
     for term, boost in qterms.items():
@@ -242,7 +249,10 @@ def score_query_taat(reader: IndexReader, qterms: dict[str, float], k: int,
         return np.empty(0, np.int64), np.empty(0, np.float64)
     if dense:
         cand = np.flatnonzero(matched)
-        return _topk_exact(cand, acc[cand], k)
+        result = _topk_exact(cand, acc[cand], k)
+        acc[cand] = 0.0          # reset only touched entries for the next query
+        matched[cand] = False
+        return result
     all_d = np.concatenate(parts_d)
     all_s = np.concatenate(parts_s)
     uniq, inv = np.unique(all_d, return_inverse=True)
