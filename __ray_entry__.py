@@ -488,6 +488,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["vec_id", "embedding"])
         return lsh_knn(ds, qids, qmat, k=10, nbits=6)
 
+    def emb_neardup(sf_dir: str):
+        import ray.data as rd
+
+        from lucene_msmarco_ray.ops.ann import embedding_neardup
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        return embedding_neardup(ds, threshold=0.45)
+
+    def bucket_join(sf_dir: str):
+        import ray.data as rd
+
+        from lucene_msmarco_ray.ops.join import bucketed_hash_join
+        from lucene_msmarco_ray.ops.textstats import quality_score, token_count
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+        left = token_count(docs)
+        right = quality_score(docs).drop_columns(["n_tokens"])
+        return bucketed_hash_join(left, right, key="doc_id", num_buckets=16)
+
     def minhash_pairs(sf_dir: str):
         import ray.data as rd
 
@@ -656,6 +675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": ann_lsh,
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash,
+        "embedding_neardup": emb_neardup,
+        "bucketed_join": bucket_join,
         "eval_metrics": eval_metrics,
         "rel_annotate": rel_annotate,
         "qpp_basic": qpp_basic,
@@ -774,6 +795,24 @@ ranked AS (
          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
   FROM sims)
 SELECT q_id, vec_id, rank::BIGINT AS rank, sim FROM ranked WHERE rank <= 10""",
+        "embedding_neardup": """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+    AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""",
+
+        "bucketed_join": f"""WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+  len(list_distinct(toks))::BIGINT AS n_unique,
+  round(len(list_filter(toks, x -> list_contains({_sql_list(__import__('lucene_msmarco_ray.ops.textstats', fromlist=['STOP_SMALL']).STOP_SMALL)}, x)))
+        / len(toks)::DOUBLE, 6) AS stop_ratio,
+  round(list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+        / len(toks)::DOUBLE, 6) AS mean_token_len,
+  round(len(list_distinct(toks)) / len(toks)::DOUBLE, 6) AS uniq_ratio
+FROM t""",
+
         "eval_metrics": _eval_sql(0.7, 0.3),
         "rel_annotate": _rel_annotate_sql(0.7, 0.3),
         "qpp_basic": _qpp_sql(0.7, 0.3),

@@ -88,6 +88,54 @@ def brute_force_knn(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 1
                                               batch_format="pandas")
 
 
+class _NearDupStage:
+    """block of vectors × broadcast full matrix → pairs (a < b) with cosine
+    ≥ threshold. Exact baseline; the scale path buckets with lsh first so
+    each block only multiplies against its candidate buckets."""
+
+    def __init__(self, allref, threshold: float, id_col: str, vec_col: str):
+        a = ray.get(allref)
+        self.all_ids = a["ids"]
+        self.all_mat = a["mat"]          # already normalized
+        self.threshold = threshold
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        mat = _normalize(_batch_matrix(batch, self.vec_col))
+        sims = mat @ self.all_mat.T                  # (nb, N)
+        bi, aj = np.nonzero(sims >= self.threshold)
+        left = ids[bi]
+        right = self.all_ids[aj]
+        keep = left < right                          # each pair once, a < b
+        return pa.table({
+            "doc_a": pa.array(left[keep], pa.int64()),
+            "doc_b": pa.array(right[keep], pa.int64()),
+            "cosine": pa.array(np.round(sims[bi, aj][keep], 6)),
+        })
+
+
+def embedding_neardup(ds, threshold: float = 0.95, id_col: str = "vec_id",
+                      vec_col: str = "embedding"):
+    """Embedding-cosine near-duplicate pairs → (doc_a, doc_b, cosine).
+    Exact all-pairs via broadcast matrix + blocked matmul — O(N²) similarity
+    but only O(N·d) shipped; swap in lsh_knn bucketing for the web-scale
+    path."""
+    import pyarrow.parquet  # noqa: F401  (ensure arrow loaded in workers)
+    mats = []
+    ids = []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        ids.append(b[id_col].to_numpy(zero_copy_only=False))
+        mats.append(_normalize(_batch_matrix(b, vec_col)))
+    allref = ray.put({"ids": np.concatenate(ids),
+                      "mat": np.concatenate(mats)})
+    return ds.map_batches(
+        _NearDupStage, fn_constructor_kwargs=dict(
+            allref=allref, threshold=threshold, id_col=id_col,
+            vec_col=vec_col),
+        batch_format="pyarrow", batch_size=2048, concurrency=(1, 8))
+
+
 class _LshStage:
     """vec → (bucket, vec_id, embedding passthrough for rescoring)."""
 
