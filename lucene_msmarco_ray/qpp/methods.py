@@ -131,6 +131,36 @@ def uef(topdocs: list[tuple[int, float]], doc_vectors: dict[int, dict[str, int]]
     return (NUM_SAMPLES / total_dist) * base_est
 
 
+def corel_specificity(base_estimate: float,
+                      knn_queries: list[tuple[str, float]],
+                      rel_docs_of, base_idf_fn, lam: float) -> float:
+    """A17 CoRel (reference: qpp/CoRelSpecificity.java:28-115, the live
+    uncommented path): λ·variantSpec + (1−λ)·Σ refSim·base(rq)/Σ refSim over
+    KNN queries that have rel docs.
+
+    Reference quirks, kept/flagged: the per-knn estimate calls the base
+    model with topDocs=null (:107) — only IDF-family estimators (which
+    ignore the ranked list) survive that, so ``base_idf_fn(qid)`` here is an
+    avg/max-IDF-style estimate of the knn query; the doc→query-index search
+    (:100-104) computes a result that is never used (dead code — not
+    executed here); knn queries without rel docs are skipped (:93-95).
+
+    ``base_estimate`` is the VariantSpecificity estimate of the original
+    query (CoRel extends VariantSpecificity, :36).
+    """
+    score = 0.0
+    z = 0.0
+    for qid, ref_sim in knn_queries:
+        rel = rel_docs_of(qid)
+        if not rel:
+            continue
+        score += ref_sim * base_idf_fn(qid)
+        z += ref_sim
+    if z == 0:
+        return lam * base_estimate
+    return lam * base_estimate + (1 - lam) * score / z
+
+
 class PreComputedPredictor:
     """qid → precomputed score (reference: qpp/PreComputedPredictor.java:38-56)."""
 

@@ -131,3 +131,16 @@ def test_stochastic_permutations():
 
 def test_jaccard():
     assert jaccard([1, 2, 3], [2, 3, 4]) == pytest.approx(2 / 4)
+
+
+def test_corel_specificity():
+    from lucene_msmarco_ray.qpp.methods import corel_specificity
+    rel = {"k1": {1}, "k2": set()}
+    idf = {"k1": 2.0}
+    out = corel_specificity(3.0, [("k1", 0.5), ("k2", 1.0)],
+                            lambda q: rel.get(q), lambda q: idf[q], lam=0.4)
+    # k2 skipped (no rel docs): 0.4*3 + 0.6*(0.5*2.0)/0.5
+    assert out == pytest.approx(0.4 * 3.0 + 0.6 * 2.0)
+    # no usable knn queries → lam * base only
+    assert corel_specificity(3.0, [("k2", 1.0)], lambda q: set(),
+                             lambda q: 0, lam=0.4) == pytest.approx(1.2)
