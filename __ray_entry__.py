@@ -232,14 +232,16 @@ def _eval_sql(k1: float, b: float) -> str:
     bm = _bm25_sql(k1, b)
     ranked_cte = bm[: bm.rindex(")\nSELECT")] + ")"  # keep WITH ... ranked
     return ranked_cte + "," + _QRELS_SQL + """,
-tot AS (SELECT qid, sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END)::DOUBLE AS total_rel
+tot AS (SELECT qid,
+               sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END)::DOUBLE AS total_rel,
+               sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::DOUBLE AS total_pos
         FROM qrels GROUP BY 1),
 hits AS (SELECT qid, rank,
                 row_number() OVER (PARTITION BY qid ORDER BY rank) AS nrel
          FROM ann WHERE rel >= 2),
-aps AS (SELECT qid, sum(nrel / rank::DOUBLE) AS s, count(*)::DOUBLE AS nseen,
-               max(rank) AS lastrank
+aps AS (SELECT qid, sum(nrel / rank::DOUBLE) AS s, count(*)::DOUBLE AS nseen
         FROM hits GROUP BY 1),
+posr AS (SELECT qid, max(rank) AS lastpos FROM ann WHERE rel > 0 GROUP BY 1),
 pk AS (SELECT qid,
               sum(CASE WHEN rel >= 2 AND rank <= 5 THEN 1 ELSE 0 END) / 5.0 AS p5,
               sum(CASE WHEN rel >= 2 AND rank <= 10 THEN 1 ELSE 0 END) / 10.0 AS p10,
@@ -253,13 +255,14 @@ idcg AS (SELECT qid, sum(rel / log2(pos + 1.0)) AS idcg10
 SELECT pk.qid,
   round(coalesce(aps.s, 0) / tot.total_rel, 6) AS ap,
   round(pk.p5, 6) AS p5, round(pk.p10, 6) AS p10,
-  round(coalesce(1.0 / aps.lastrank, 0), 6) AS rr,
-  round(coalesce(aps.nseen, 0) / tot.total_rel, 6) AS recall,
+  round(coalesce(1.0 / posr.lastpos, 0), 6) AS rr,
+  round(coalesce(aps.nseen, 0) / tot.total_pos, 6) AS recall,
   round(coalesce(pk.dcg10, 0) / idcg.idcg10, 6) AS ndcg10
 FROM pk
 JOIN tot ON tot.qid = pk.qid
 JOIN idcg ON idcg.qid = pk.qid
-LEFT JOIN aps ON aps.qid = pk.qid"""
+LEFT JOIN aps ON aps.qid = pk.qid
+LEFT JOIN posr ON posr.qid = pk.qid"""
 
 
 def _rel_annotate_sql(k1: float, b: float) -> str:

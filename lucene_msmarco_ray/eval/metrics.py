@@ -6,9 +6,12 @@ including its quirks (SURVEY.md A10/A11), all flagged inline:
   src/main/java/retrieval/Constants.java:57);
 * AP: Σ precision@rank over relevant hits / total #relevant in qrels
   (src/main/java/qrels/RetrievedResults.java:150-170);
-* P@k (…:172-183), Recall = #rel seen / total rel (…:185-196);
-* RR returns the reciprocal rank of the LAST relevant doc seen — a reference
-  quirk, reproduced as-spec'd (…:198-206);
+* P@k (…:172-183); Recall = (#rel>=2 seen) / relMap.size() — the DENOMINATOR
+  counts every rel>0 label (PerQueryRelDocs stores only rel>0,
+  src/main/java/qrels/PerQueryRelDocs.java:22-25), while the numerator uses
+  isRel (rel>=2) — a reference asymmetry, reproduced as-spec'd (…:184-196);
+* RR returns the reciprocal rank of the LAST doc with rel > 0 (not >=2) — a
+  reference quirk, reproduced as-spec'd (…:197-206);
 * nDCG@c: linear gain rel/log2(rank+1); ideal DCG from ALL rel>0 labels
   sorted desc (…:208-256);
 * macro averages: mean over queries, except recall which divides the summed
@@ -46,7 +49,8 @@ def annotate_rel(run_ds, qrels_df: pd.DataFrame):
     return run_ds.map_batches(ann, batch_format="pyarrow")
 
 
-def _metrics_for_group(g: pd.DataFrame, total_rel: int, all_rels: np.ndarray,
+def _metrics_for_group(g: pd.DataFrame, total_rel: int, total_pos: int,
+                       all_rels: np.ndarray,
                        cutoffs: tuple[int, ...]) -> dict:
     g = g.sort_values("rank")
     rel = g["rel"].to_numpy()
@@ -63,12 +67,15 @@ def _metrics_for_group(g: pd.DataFrame, total_rel: int, all_rels: np.ndarray,
     # P@k
     for k in (5, 10):
         out[f"p{k}"] = float(is_rel[rank <= k].sum() / k)
-    # RR of the LAST relevant seen (reference quirk)
-    out["rr"] = float(1.0 / rank[is_rel][-1]) if is_rel.any() else 0.0
-    # recall
-    out["recall"] = float(is_rel.sum() / total_rel) if total_rel else 0.0
+    # RR of the LAST doc with rel > 0 (reference quirk: computeRR skips
+    # rel<=0 only, no EVAL_MIN_REL; RetrievedResults.java:197-206)
+    is_pos = rel > 0
+    out["rr"] = float(1.0 / rank[is_pos][-1]) if is_pos.any() else 0.0
+    # recall: numerator rel>=2 hits, denominator ALL rel>0 labels
+    # (relMap.size(); RetrievedResults.java:184-195)
+    out["recall"] = float(is_rel.sum() / total_pos) if total_pos else 0.0
     out["_rel_seen"] = float(is_rel.sum())
-    out["_total_rel"] = float(total_rel)
+    out["_total_rel"] = float(total_pos)
     # nDCG@c — linear gain, ideal from ALL rel>0 labels sorted desc
     ideal = np.sort(all_rels[all_rels > 0])[::-1]
     for c in cutoffs:
@@ -87,7 +94,8 @@ def per_query_metrics(run_ds, qrels_df: pd.DataFrame,
     qrels_df = qrels_df.copy()
     qrels_df["qid"] = qrels_df["qid"].astype(str)
     by_q = {
-        q: (int((sub["rel"] >= EVAL_MIN_REL).sum()),
+        q: (int((sub["rel"] >= EVAL_MIN_REL).sum()),   # numRel, for AP
+            int((sub["rel"] > 0).sum()),               # relMap.size(), recall
             sub["rel"].to_numpy(dtype=np.int64))
         for q, sub in qrels_df.groupby("qid")
     }
@@ -97,8 +105,8 @@ def per_query_metrics(run_ds, qrels_df: pd.DataFrame,
     def group_metrics(g: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(qref)
         qid = str(g["qid"].iloc[0])
-        total_rel, rels = m.get(qid, (0, np.empty(0, np.int64)))
-        row = _metrics_for_group(g, total_rel, rels, cutoffs)
+        total_rel, total_pos, rels = m.get(qid, (0, 0, np.empty(0, np.int64)))
+        row = _metrics_for_group(g, total_rel, total_pos, rels, cutoffs)
         row = {k: round(v, 6) for k, v in row.items()}
         row["qid"] = qid
         cols = ["qid", "ap", "p5", "p10", "rr", "recall",

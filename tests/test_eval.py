@@ -37,17 +37,28 @@ def test_metrics_goldens(tiny_run):
     assert row["ap"] == pytest.approx((1 / 2 + 2 / 4) / 2)
     assert row["p5"] == pytest.approx(2 / 5)
     assert row["p10"] == pytest.approx(2 / 10)
-    # RR quirk: reciprocal of the LAST relevant seen (rank 4), not the first
+    # RR quirk: reciprocal of the LAST rel>0 doc seen (rank 4), not the first
     assert row["rr"] == pytest.approx(0.25)
-    assert row["recall"] == pytest.approx(1.0)
+    # recall: rel>=2 hits (docs 1,3) over ALL rel>0 labels (3 of them) —
+    # reference divides by relMap.size() (RetrievedResults.java:184-195)
+    assert row["recall"] == pytest.approx(2 / 3)
     dcg = 3 / math.log2(3) + 1 / math.log2(4) + 2 / math.log2(5)
     idcg = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
     assert row["ndcg10"] == pytest.approx(dcg / idcg, abs=1e-6)
 
 
+def test_rr_counts_rel1_docs(tiny_run):
+    # computeRR skips only rel<=0: a trailing rel=1 doc (below EVAL_MIN_REL)
+    # still resets RR (RetrievedResults.java:197-206)
+    qr = pd.DataFrame({"qid": ["1", "1"], "docid": [1, 3], "rel": [3, 1]})
+    row = per_query_metrics(tiny_run, qr, cutoffs=(10,)).to_pandas().iloc[0]
+    assert row["rr"] == pytest.approx(0.25)   # doc 3 (rel=1) at rank 4
+    assert row["recall"] == pytest.approx(1 / 2)
+
+
 def test_macro(tiny_run):
     pq, macro = evaluate_run(tiny_run, QRELS, cutoffs=(10,))
-    assert macro["recall"] == pytest.approx(1.0)
+    assert macro["recall"] == pytest.approx(2 / 3)
     assert macro["ap"] == pq["ap"].mean()
 
 
