@@ -323,6 +323,77 @@ FROM qp t1 JOIN qp t2 ON t1.qid = t2.qid AND t1.pos < t2.pos
 GROUP BY 1""")
 
 
+_GRAM_CTE = """t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+gl AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              WHEN len(toks) >= 1 THEN [array_to_string(toks, ' ')]
+              ELSE []::VARCHAR[] END AS grams
+  FROM t),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM gl)"""
+
+
+def _roll_sql(col: str, base: int) -> str:
+    """SQL for the engine's polynomial rolling hash (ops/dedup.py):
+    fold(acc*base + codepoint) mod 2^31-1 — list_reduce seeds acc with the
+    first element, identical to a zero-init fold."""
+    return (f"list_reduce(list_transform(range(1, len({col}) + 1), "
+            f"i -> ord(substr({col}, i, 1))::BIGINT), "
+            f"(acc, c) -> (acc * {base} + c) % 2147483647)")
+
+
+def _minhash_sql(num_perm: int = 64, bands: int = 16, seed: int = 13) -> str:
+    """Independent DuckDB recomputation of minhash_lsh_candidates: same gram
+    hashes, same seeded (a,b) permutation constants, same band keys."""
+    from lucene_msmarco_ray.ops.dedup import minhash_params
+    a, b = minhash_params(num_perm, seed)
+    r = num_perm // bands
+    vals = ", ".join(f"({p}, {int(a[p])}, {int(b[p])})"
+                     for p in range(num_perm))
+    return f"""WITH {_GRAM_CTE},
+gh AS (SELECT doc_id, {_roll_sql('gram', 131)} AS h FROM g),
+perm(p, a, b) AS (VALUES {vals}),
+sig AS (SELECT gh.doc_id, perm.p,
+               min((perm.a * gh.h + perm.b) % 2147483647) AS mh
+        FROM gh CROSS JOIN perm GROUP BY 1, 2),
+bk AS (SELECT doc_id, p // {r} AS band_id,
+              string_agg(mh::VARCHAR, '-' ORDER BY p) AS band_key
+       FROM sig GROUP BY 1, 2)
+SELECT DISTINCT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b
+FROM bk a JOIN bk b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """Independent DuckDB recomputation of simhash_pairs: two 31-bit rolling
+    hashes per token (bases 131/137) → 62-bit fingerprint → all-pairs Hamming
+    (the engine's 4-band LSH is pigeonhole-complete for d<=3, so the exact
+    all-pairs scan is the correct oracle)."""
+    return f"""WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+th AS (SELECT doc_id, {_roll_sql('tk', 131)} AS h1, {_roll_sql('tk', 137)} AS h2
+       FROM tok),
+bits AS (SELECT doc_id, j,
+                sum(CASE WHEN ((CASE WHEN j < 31 THEN h1 >> j
+                                     ELSE h2 >> (j - 31) END) & 1) = 1
+                         THEN 1 ELSE -1 END) AS v
+         FROM th CROSS JOIN (SELECT unnest(range(62)) AS j)
+         GROUP BY 1, 2),
+fp AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j)
+                               ELSE 0 END)::BIGINT AS f
+       FROM bits GROUP BY 1)
+SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+       bit_count(xor(a.f, b.f))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}"""
+
+
 def _qpp_sql(k1: float, b: float, k: int = 50) -> str:
     """NQC / cumulative-NQC / avgIDF / maxIDF per gate query. idf = ln(N/df)
     with the reference's two df=0 conventions (see qpp/methods.py)."""
@@ -831,8 +902,6 @@ SELECT w1.doc_id, w1.term, round(w1.w / nrm.z, 6) AS wt
 FROM w1 JOIN nrm ON nrm.doc_id = w1.doc_id""",
         "sparsevec_topdocs": _sparsevec_sql(0.7, 0.3),
         "bigram_count": _bigram_sql(),
-        # qpp_sampling (RSD/UEF seeded sampling), fdbk_rerank, rm3_expand:
-        # iterative / model-based → rows-only checks.
-        # ann_lsh, minhash_pairs, simhash_pairs: approximate / hash-seeded →
-        # no SQL oracle; the driver records rows-only checks for them.
+        "minhash_pairs": _minhash_sql(),
+        "simhash_pairs": _simhash_sql(),
     }

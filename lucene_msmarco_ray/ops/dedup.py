@@ -8,41 +8,145 @@ first-class pipeline stage; these operators are Ray-Data-native:
 * exact_dedup      — content-hash → hash-partitioned groupby (one shuffle of
                      (hash, id) pairs only, never the content);
 * minhash_lsh      — shingle → minhash signature → banded LSH buckets →
-                     candidate pairs with signature-estimated Jaccard
-                     (Broder 1997; Leskovec/Rajaraman/Ullman ch.3);
-* simhash          — Charikar 2002 64-bit fingerprints, banded for candidate
-                     generation, Hamming-distance verified;
+                     candidate pairs (Broder 1997; Leskovec/Rajaraman/Ullman
+                     ch.3);
+* simhash          — Charikar 2002 fingerprints (62-bit here), banded for
+                     candidate generation, Hamming-distance verified;
 * ngram_jaccard    — exact word-n-gram Jaccard via gram-inverted-index join
                      (SQL-expressible; the gate oracle covers it).
 
-All per-batch work is vectorized or O(tokens); signatures travel as fixed
-width columns so every shuffle moves small rows.
+Hash family (round-2 design): every content hash used by minhash/simhash is
+the polynomial rolling hash ``h(s) = fold(acc*131 + codepoint) mod 2^31-1``
+— chosen because it is (a) exactly expressible in ANSI-ish SQL
+(``list_reduce`` over ``ord(substr(...))``), so the DuckDB gate oracle can
+recompute signatures independently, and (b) batch-vectorizable in numpy
+(positional fold over a flat codepoint array; products stay < 2^62 so plain
+uint64 arithmetic is exact). MinHash permutations are ``(a*h + b) mod 2^31-1``
+with seeded a,b; SimHash takes two independent base-131/137 hashes for a
+62-bit fingerprint. All per-batch work is vectorized (no per-row Python in
+the hash/signature path); signatures travel as fixed-width columns so every
+shuffle moves small rows.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_MERSENNE = (1 << 61) - 1
+logger = logging.getLogger(__name__)
+
+M31 = (1 << 31) - 1          # Mersenne prime modulus (SQL-safe int64 products)
+HASH_BASE = 131
+HASH_BASE2 = 137             # second family for simhash bits 31..61
+_SPACE = 32                  # ord(' ') — shingle join character
 
 
-def _token_hashes(tokens: list[str]) -> np.ndarray:
-    """Stable 64-bit hashes (md5-low) of tokens."""
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
-         for t in tokens), dtype=np.uint64, count=len(tokens))
+def poly_hash_str(s: str, base: int = HASH_BASE) -> int:
+    """Scalar reference implementation (tests / oracles)."""
+    h = 0
+    for ch in s:
+        h = (h * base + ord(ch)) % M31
+    return h
 
 
-def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
-    if len(tokens) < k:
-        grams = [" ".join(tokens)] if tokens else []
+def _poly_hashes(strings: list[str], base: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized rolling hash of many strings → (hashes, lengths).
+
+    One utf-32 encode of the concatenated batch, then a positional fold:
+    iteration j updates only strings longer than j (no N×L padded matrix).
+    """
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    lengths = np.fromiter(map(len, strings), np.int64, n)
+    cps = np.frombuffer("".join(strings).encode("utf-32-le"),
+                        dtype=np.uint32).astype(np.uint64)
+    starts = np.empty(n, np.int64)
+    starts[0] = 0
+    np.cumsum(lengths[:-1], out=starts[1:])
+    h = np.zeros(n, np.uint64)
+    ubase = np.uint64(base)
+    um = np.uint64(M31)
+    for j in range(int(lengths.max(initial=0))):
+        act = np.flatnonzero(lengths > j)
+        h[act] = (h[act] * ubase + cps[starts[act] + j]) % um
+    return h, lengths
+
+
+def _pow_table(base: int, max_len: int) -> np.ndarray:
+    p = np.empty(max_len + 1, np.uint64)
+    p[0] = 1
+    for i in range(1, max_len + 1):
+        p[i] = (int(p[i - 1]) * base) % M31
+    return p
+
+
+def _gram_hashes(tok_h: np.ndarray, tok_len: np.ndarray, doc_cnt: np.ndarray,
+                 k: int, base: int = HASH_BASE
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Hashes of space-joined k-token shingles per doc, composed from token
+    hashes (H(a+' '+b) = ((H(a)*B+32)%M * B^len(b) + H(b)) % M — identical to
+    hashing the joined gram string). Docs with 0 < n < k tokens contribute one
+    whole-doc gram; empty docs contribute none.
+
+    Returns (gram_hashes grouped contiguously by doc, grams_per_doc).
+    """
+    ub, um, usp = np.uint64(base), np.uint64(M31), np.uint64(_SPACE)
+    n_docs = len(doc_cnt)
+    doc_of_tok = np.repeat(np.arange(n_docs), doc_cnt)
+    tok_start = np.concatenate(([0], np.cumsum(doc_cnt)[:-1]))
+    powb = _pow_table(base, int(tok_len.max(initial=0)))
+
+    def compose(g, idx):
+        # g ← H(g + ' ' + token[idx]), all uint64-safe (< 2^62)
+        return (((g * ub + usp) % um) * powb[tok_len[idx]] + tok_h[idx]) % um
+
+    # full windows: starts w with w..w+k-1 inside one doc
+    if len(tok_h) >= k:
+        w = np.flatnonzero(doc_of_tok[: len(tok_h) - k + 1]
+                           == doc_of_tok[k - 1:])
+        g_full = tok_h[w].copy()
+        for j in range(1, k):
+            g_full = compose(g_full, w + j)
+        full_doc = doc_of_tok[w] if w.size else np.empty(0, np.int64)
     else:
-        grams = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
-    return np.unique(_token_hashes(grams))
+        g_full = np.empty(0, np.uint64)
+        full_doc = np.empty(0, np.int64)
+    # short docs (0 < n < k): single whole-doc gram
+    sd = np.flatnonzero((doc_cnt > 0) & (doc_cnt < k))
+    g_short = tok_h[tok_start[sd]].copy() if sd.size else np.empty(0, np.uint64)
+    for j in range(1, k - 1):
+        act = np.flatnonzero(doc_cnt[sd] > j)
+        g_short[act] = compose(g_short[act], tok_start[sd[act]] + j)
+
+    grams = np.concatenate([g_full, g_short])
+    docs = np.concatenate([full_doc, sd])
+    order = np.argsort(docs, kind="stable")
+    per_doc = np.bincount(docs, minlength=n_docs).astype(np.int64)
+    return grams[order], per_doc
+
+
+def _tokenize_batch(texts: list[str]) -> tuple[list[str], np.ndarray]:
+    toks_per_doc = [t.split() for t in texts]
+    cnt = np.fromiter(map(len, toks_per_doc), np.int64, len(toks_per_doc))
+    flat = [t for ts in toks_per_doc for t in ts]
+    return flat, cnt
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain constant avalanche), vectorized."""
+    h = h.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return h
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -62,154 +166,308 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         Count(alias_name="dup_count"))
 
 
+def minhash_params(num_perm: int, seed: int = 13) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded (a, b) of the permutation family (a*h + b) mod M31. Exposed so
+    the SQL oracle can embed the identical constants."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, M31, num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, M31, num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
 class _MinHashStage:
-    """doc → (band_id, band_key, doc_id, n_shingles) rows."""
+    """doc → (band_id, band_key, doc_id) rows, fully vectorized per batch."""
 
     def __init__(self, num_perm: int, bands: int, shingle_k: int,
                  text_col: str, id_col: str, seed: int = 13):
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, 2**63, num_perm, dtype=np.uint64) * 2 + 1  # odd
-        self.b = rng.integers(0, 2**63, num_perm, dtype=np.uint64)
+        self.a, self.b = minhash_params(num_perm, seed)
         self.num_perm, self.bands = num_perm, bands
         self.rows_per_band = num_perm // bands
         self.shingle_k = shingle_k
         self.text_col, self.id_col = text_col, id_col
 
-    def signature_from_hashes(self, sh: np.ndarray) -> np.ndarray:
-        if sh.size == 0:
-            return np.full(self.num_perm, np.iinfo(np.uint64).max, np.uint64)
-        # multiply-shift hash family mod 2^64 (native uint64 wraparound —
-        # fully vectorized; a is odd so the map is a bijection on Z_2^64)
-        with np.errstate(over="ignore"):
-            vals = self.a[:, None] * sh[None, :] + self.b[:, None]
-        return np.min(vals, axis=1)
+    def signatures(self, grams: np.ndarray, per_doc: np.ndarray) -> np.ndarray:
+        """→ (num_perm, n_docs_with_grams) uint64 minhash matrix."""
+        nz = np.flatnonzero(per_doc)
+        offs = np.concatenate(([0], np.cumsum(per_doc[nz])[:-1]))
+        um = np.uint64(M31)
+        sig = np.empty((self.num_perm, nz.size), np.uint64)
+        for p0 in range(0, self.num_perm, 8):   # chunk perms: bounds memory
+            p1 = min(p0 + 8, self.num_perm)
+            vals = (self.a[p0:p1, None] * grams[None, :]
+                    + self.b[p0:p1, None]) % um
+            sig[p0:p1] = np.minimum.reduceat(vals, offs, axis=1)
+        return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        band_id, band_key, doc_id, nsh = [], [], [], []
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        flat, cnt = _tokenize_batch(batch[self.text_col].to_pylist())
+        tok_h, tok_len = _poly_hashes(flat, HASH_BASE)
+        grams, per_doc = _gram_hashes(tok_h, tok_len, cnt, self.shingle_k)
+        nz = np.flatnonzero(per_doc)
+        if nz.size == 0:
+            return pa.table({"band_id": pa.array([], pa.int32()),
+                             "band_key": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64())})
+        sig = self.signatures(grams, per_doc)
         r = self.rows_per_band
-        for i, text in enumerate(texts):
-            sh = _shingle_hashes(text.split(), self.shingle_k)
-            sig = self.signature_from_hashes(sh)
-            n = sh.size
-            for bnd in range(self.bands):
-                chunk = sig[bnd * r:(bnd + 1) * r]
-                key = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-                band_id.append(bnd)
-                band_key.append(key)
-                doc_id.append(ids[i])
-                nsh.append(n)
-        return pa.table({"band_id": pa.array(band_id, pa.int32()),
-                         "band_key": pa.array(band_key),
-                         "doc_id": pa.array(doc_id, pa.int64()),
-                         "n_shingles": pa.array(nsh, pa.int64())})
+        # one int64 bucket key per (band, doc): avalanche-chain the band's r
+        # signature values with the band id — grouping on a single int column
+        # is measurably cheaper than string keys in the sort shuffle
+        keys = []
+        for bnd in range(self.bands):
+            bk = _mix64(np.full(nz.size, bnd, np.uint64))
+            for j in range(r):
+                bk = _mix64(bk ^ sig[bnd * r + j])
+            keys.append(bk)
+        doc_ids = ids[nz]
+        return pa.table({
+            "bucket": pa.array(np.concatenate(keys).view(np.int64)),
+            "doc_id": pa.array(np.tile(doc_ids, self.bands).astype(np.int64)),
+        })
+
+
+_NUM_PARTS = 64     # coarse shuffle partitions for bucket-local work
+
+
+def _segments(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Starts/sizes of equal-key runs in a sorted key array."""
+    if keys.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+    sizes = np.diff(np.concatenate((starts, [keys.size])))
+    return starts, sizes
+
+
+def _bucket_pairs(g: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
+    """One coarse partition (many LSH buckets) → all within-bucket doc pairs.
+
+    Per-group Python overhead is paid once per PARTITION, not per bucket:
+    the partition is lexsorted and only buckets holding >= 2 docs are
+    expanded (near-dup buckets are rare, so the inner loop is short).
+    Oversized buckets are truncated to their ``max_bucket`` smallest ids and
+    the drop is logged (worker log)."""
+    b = g["bucket"].to_numpy()
+    d = g["doc_id"].to_numpy()
+    order = np.lexsort((d, b))
+    b, d = b[order], d[order]
+    keep = np.ones(b.size, bool)                  # drop (bucket, doc) dupes
+    keep[1:] = (b[1:] != b[:-1]) | (d[1:] != d[:-1])
+    b, d = b[keep], d[keep]
+    starts, sizes = _segments(b)
+    out_a, out_b = [], []
+    for s, n in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+        ids = d[s:s + n]
+        if n > max_bucket:
+            logger.warning(
+                "minhash_lsh: bucket %s has %d docs; truncating to %d "
+                "(dropping %d)", b[s], n, max_bucket, n - max_bucket)
+            ids = ids[:max_bucket]
+        ia, ib = np.triu_indices(ids.size, k=1)
+        out_a.append(ids[ia])
+        out_b.append(ids[ib])
+    if not out_a:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64)})
+    return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                         "doc_b": np.concatenate(out_b)})
+
+
+def _dedup_pairs(pairs, extra: tuple[str, ...] = ()):
+    """Distinct (doc_a, doc_b) rows via ONE coarse int-keyed shuffle.
+    ``extra`` columns are carried from the first occurrence (they are
+    deterministic per pair for every caller here)."""
+
+    def part_of(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            p = _mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ bb)
+        return batch.append_column(
+            "__part", pa.array((p % np.uint64(_NUM_PARTS)).astype(np.int64)))
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["doc_a"].to_numpy()
+        bb = g["doc_b"].to_numpy()
+        order = np.lexsort((bb, a))
+        a, bb = a[order], bb[order]
+        keep = np.ones(a.size, bool)
+        keep[1:] = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
+        cols = {"doc_a": a[keep], "doc_b": bb[keep]}
+        for c in extra:
+            cols[c] = g[c].to_numpy()[order][keep]
+        return pd.DataFrame(cols)
+
+    uniq.__name__ = "distinct_pairs"
+    return (pairs.map_batches(part_of, batch_format="pyarrow")
+            .groupby("__part").map_groups(uniq, batch_format="pandas"))
 
 
 def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
                            num_perm: int = 64, bands: int = 16,
-                           shingle_k: int = 3, max_bucket: int = 1000):
+                           shingle_k: int = 3, max_bucket: int = 1000,
+                           seed: int = 13):
     """Near-duplicate candidate pairs via MinHash-LSH.
 
     → (doc_a, doc_b) distinct pairs that collide in ≥1 band. Buckets larger
-    than ``max_bucket`` are truncated (logged via the dropped column count in
-    the row limit) — at web scale a giant bucket means a boilerplate cluster;
-    cap and handle those via exact_dedup first."""
+    than ``max_bucket`` are truncated (see :func:`_bucket_pairs`) — at web
+    scale a giant bucket means a boilerplate cluster; cap and handle those
+    via exact_dedup first.
+
+    Shuffle discipline: TWO int-keyed exchanges total — band rows grouped by
+    ``bucket % _NUM_PARTS`` (bucket-local pair expansion is vectorized inside
+    each partition), then pair dedup grouped by a pair-hash partition. No
+    per-tiny-group pandas overhead (measured 10x on the sf0.1 bench)."""
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())[:max_bucket]
-        if ids.size < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        ia, ib = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+        return _bucket_pairs(g, max_bucket)
 
     bucket_pairs.__name__ = "bucket_pairs"
     rows = ds.map_batches(
         _MinHashStage, fn_constructor_kwargs=dict(
             num_perm=num_perm, bands=bands, shingle_k=shingle_k,
-            text_col=text_col, id_col=id_col),
+            text_col=text_col, id_col=id_col, seed=seed),
         batch_format="pyarrow", concurrency=(1, 8))
-    pairs = rows.groupby(["band_id", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+
+    def part_of(batch: pa.Table) -> pa.Table:
+        bk = batch["bucket"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return batch.append_column(
+            "__part", pa.array((bk % np.uint64(_NUM_PARTS)).astype(np.int64)))
+
+    pairs = (rows.map_batches(part_of, batch_format="pyarrow")
+             .groupby("__part").map_groups(bucket_pairs,
+                                           batch_format="pandas"))
     # distinct pairs (a pair can collide in several bands)
-    from ray.data.aggregate import Count
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands")).select_columns(["doc_a", "doc_b"])
+    return _dedup_pairs(pairs)
+
+
+# simhash band layout over the 62-bit fingerprint: widths/shifts chosen so
+# 4 disjoint bands cover all bits (pigeonhole-complete for hamming <= 3)
+_SIM_BANDS = ((0, 16), (16, 16), (32, 15), (47, 15))
 
 
 class _SimHashStage:
-    """doc → (doc_id, simhash:uint64 as int64, band0..band3:int32)."""
+    """doc → 4 rows (bkey, doc_id, simhash); vectorized.
+
+    ``bkey = band_id << 16 | band_bits`` packs the band number and the band's
+    bit slice into ONE int64 (exactly injective: every band is <= 16 bits),
+    so candidate generation is a single int-keyed groupby instead of four
+    separate shuffles. Empty-token docs emit no row (no content to
+    fingerprint — documented deviation, keeps the SQL oracle trivial)."""
 
     def __init__(self, text_col: str, id_col: str):
         self.text_col, self.id_col = text_col, id_col
 
+    def fingerprints(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        flat, cnt = _tokenize_batch(batch[self.text_col].to_pylist())
+        nz = np.flatnonzero(cnt)
+        if nz.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.uint64)
+        h1, _ = _poly_hashes(flat, HASH_BASE)
+        h2, _ = _poly_hashes(flat, HASH_BASE2)
+        offs = np.concatenate(([0], np.cumsum(cnt[nz])[:-1]))
+        shifts = np.arange(31, dtype=np.uint64)
+        f = np.zeros(nz.size, np.uint64)
+        for lo, h in ((0, h1), (31, h2)):
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            v = np.add.reduceat(2 * bits - 1, offs, axis=0)
+            f |= ((v > 0).astype(np.uint64)
+                  << (shifts + np.uint64(lo))[None, :]).sum(axis=1,
+                                                            dtype=np.uint64)
+        return ids[nz].astype(np.int64), f
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        out_f, out_b = [], [[] for _ in range(4)]
-        for text in batch[self.text_col].to_pylist():
-            toks = text.split()
-            h = _token_hashes(toks)
-            if h.size == 0:
-                f = np.uint64(0)
-            else:
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                        & np.uint64(1)).astype(np.int64)
-                v = (2 * bits - 1).sum(axis=0)
-                f = np.uint64(0)
-                for bit in np.flatnonzero(v > 0):
-                    f |= np.uint64(1) << np.uint64(bit)
-            out_f.append(int(f))
-            for bnd in range(4):
-                out_b[bnd].append(int((f >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)))
-        cols = {"doc_id": pa.array(ids, pa.int64()),
-                "simhash": pa.array([x - (1 << 64) if x >= 1 << 63 else x
-                                     for x in out_f], pa.int64())}
-        for bnd in range(4):
-            cols[f"band{bnd}"] = pa.array(out_b[bnd], pa.int32())
-        return pa.table(cols)
+        ids, f = self.fingerprints(batch)
+        bkeys, docs, fps = [], [], []
+        for bnd, (lo, width) in enumerate(_SIM_BANDS):
+            band = ((f >> np.uint64(lo)) & np.uint64((1 << width) - 1))
+            bkeys.append((np.int64(bnd) << np.int64(16)) | band.astype(np.int64))
+            docs.append(ids)
+            fps.append(f.view(np.int64))
+        return pa.table({
+            "bkey": pa.array(np.concatenate(bkeys) if bkeys else
+                             np.empty(0, np.int64)),
+            "doc_id": pa.array(np.concatenate(docs) if docs else
+                               np.empty(0, np.int64)),
+            "simhash": pa.array(np.concatenate(fps) if fps else
+                                np.empty(0, np.int64)),
+        })
 
 
 def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, max_bucket: int = 1000):
-    """SimHash near-dup pairs: 4×16-bit bands for candidates, Hamming-verified
-    (any pair within distance d≤3 shares ≥1 exact band — pigeonhole)."""
+    """SimHash near-dup pairs: 4 disjoint bands (16+16+15+15 of 62 bits) for
+    candidates, Hamming-verified — any pair within distance d≤3 shares ≥1
+    exact band (pigeonhole), so results equal the all-pairs scan whenever no
+    bucket overflows ``max_bucket`` (overflows are logged)."""
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        sub = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = sub["doc_id"].to_numpy()[:max_bucket]
-        f = sub["simhash"].to_numpy().astype(np.uint64)[:max_bucket]
-        if ids.size < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        ia, ib = np.triu_indices(ids.size, k=1)
-        x = f[ia] ^ f[ib]
-        ham = np.zeros(x.size, dtype=np.int64)
-        while x.any():
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
-        sel = ham <= max_hamming
-        return pd.DataFrame({"doc_a": ids[ia][sel], "doc_b": ids[ib][sel],
-                             "hamming": ham[sel]})
+        # one coarse partition = many band buckets; vectorize across them
+        bk = g["bkey"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        f = g["simhash"].to_numpy().astype(np.uint64)
+        order = np.lexsort((d, bk))
+        bk, d, f = bk[order], d[order], f[order]
+        keep = np.ones(bk.size, bool)
+        keep[1:] = (bk[1:] != bk[:-1]) | (d[1:] != d[:-1])
+        bk, d, f = bk[keep], d[keep], f[keep]
+        starts, sizes = _segments(bk)
+        out_a, out_b, out_h = [], [], []
+        for s, n in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            if n > max_bucket:
+                logger.warning(
+                    "simhash: band bucket %s has %d docs; truncating to %d "
+                    "(dropping %d)", bk[s], n, max_bucket, n - max_bucket)
+                n = max_bucket
+            ids, fp = d[s:s + n], f[s:s + n]
+            ia, ib = np.triu_indices(int(n), k=1)
+            x = fp[ia] ^ fp[ib]
+            ham = np.zeros(x.size, dtype=np.int64)
+            while x.any():
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            sel = ham <= max_hamming
+            out_a.append(ids[ia][sel])
+            out_b.append(ids[ib][sel])
+            out_h.append(ham[sel])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
 
     verify.__name__ = "verify_hamming"
     sigs = ds.map_batches(
         _SimHashStage, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
         batch_format="pyarrow", concurrency=(1, 8))
-    parts = []
-    for bnd in range(4):
-        parts.append(sigs.groupby(f"band{bnd}").map_groups(
-            verify, batch_format="pandas"))
-    allpairs = parts[0].union(*parts[1:])
-    from ray.data.aggregate import Min
-    return allpairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+
+    def part_of(batch: pa.Table) -> pa.Table:
+        bk = batch["bkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = _mix64(bk) % np.uint64(_NUM_PARTS)
+        return batch.append_column("__part", pa.array(p.astype(np.int64)))
+
+    allpairs = (sigs.map_batches(part_of, batch_format="pyarrow")
+                .groupby("__part").map_groups(verify, batch_format="pandas"))
+    # hamming is deterministic per pair, so dedup keeps the first occurrence
+    return _dedup_pairs(allpairs, extra=("hamming",))
 
 
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.8,
                         max_gram_df: int = 200):
     """Exact n-gram Jaccard near-dup pairs via a gram inverted index:
-    explode (gram, doc) → groupby(gram) → pairs → count shared grams →
-    jaccard = shared / (|A| + |B| - shared) ≥ threshold.
+    explode (gram_id, doc) → coarse-partition groupby → per-gram pairs →
+    count shared grams per pair → jaccard = shared / (|A| + |B| - shared)
+    ≥ threshold.
+
+    Grams are identified by a 62-bit id (two independent 31-bit rolling
+    hashes of the joined gram string — collision probability ~2^-62 per gram
+    pair, negligible against the exactness contract). Both shuffles are
+    int-keyed coarse partitions (``% _NUM_PARTS``) with work vectorized
+    across the contained groups — no per-tiny-group pandas overhead.
 
     ``max_gram_df``: grams occurring in more than this many docs are dropped
     from pair generation (stop-gram pruning — they cannot discriminate and
@@ -217,46 +475,89 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     practice). Exactness holds for pairs whose similarity rests on at least
     one non-stop gram; boilerplate-only pairs are the domain of exact_dedup.
     """
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        g_doc, g_gram, g_cnt = [], [], []
-        for i, text in enumerate(batch[text_col].to_pylist()):
-            toks = text.split()
-            grams = ({" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
-                     if len(toks) >= n else ({" ".join(toks)} if toks else set()))
-            g_doc.extend([ids[i]] * len(grams))
-            g_gram.extend(grams)
-            g_cnt.extend([len(grams)] * len(grams))
-        return pa.table({"gram": pa.array(g_gram), "doc_id": pa.array(g_doc, pa.int64()),
-                         "n_grams": pa.array(g_cnt, pa.int64())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        flat, cnt = _tokenize_batch(batch[text_col].to_pylist())
+        h1, l1 = _poly_hashes(flat, HASH_BASE)
+        h2, _ = _poly_hashes(flat, HASH_BASE2)
+        g1, per_doc = _gram_hashes(h1, l1, cnt, n, HASH_BASE)
+        g2, _ = _gram_hashes(h2, l1, cnt, n, HASH_BASE2)
+        gid = (g1 | (g2 << np.uint64(31))).view(np.int64)
+        nz = np.flatnonzero(per_doc)
+        doc_of = np.repeat(ids[nz].astype(np.int64), per_doc[nz])
+        # distinct (doc, gram) + per-doc distinct-gram counts
+        order = np.lexsort((gid, doc_of))
+        doc_of, gid = doc_of[order], gid[order]
+        keep = np.ones(gid.size, bool)
+        keep[1:] = (doc_of[1:] != doc_of[:-1]) | (gid[1:] != gid[:-1])
+        doc_of, gid = doc_of[keep], gid[keep]
+        starts, sizes = _segments(doc_of)
+        ng = np.repeat(sizes, sizes)
+        return pa.table({"gram_id": pa.array(gid),
+                         "doc_id": pa.array(doc_of),
+                         "n_grams": pa.array(ng),
+                         "__part": pa.array(
+                             (_mix64(gid.view(np.uint64))
+                              % np.uint64(_NUM_PARTS)).astype(np.int64))})
 
     def gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2 or len(g) > max_gram_df:
-            return pd.DataFrame({"doc_a": [], "doc_b": [],
-                                 "na": [], "nb": []})
-        ids = g["doc_id"].to_numpy()
-        cnt = g["n_grams"].to_numpy()
-        ia, ib = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib],
-                             "na": cnt[ia], "nb": cnt[ib]})
+        gid = g["gram_id"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        ng = g["n_grams"].to_numpy()
+        order = np.lexsort((d, gid))
+        gid, d, ng = gid[order], d[order], ng[order]
+        starts, sizes = _segments(gid)
+        out = []
+        sel = (sizes >= 2) & (sizes <= max_gram_df)
+        for s, m in zip(starts[sel], sizes[sel]):
+            ids, cnts = d[s:s + m], ng[s:s + m]
+            ia, ib = np.triu_indices(int(m), k=1)
+            out.append((ids[ia], ids[ib], cnts[ia], cnts[ib]))
+        if not out:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "na": pd.Series([], dtype=np.int64),
+                                 "nb": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({
+            "doc_a": np.concatenate([o[0] for o in out]),
+            "doc_b": np.concatenate([o[1] for o in out]),
+            "na": np.concatenate([o[2] for o in out]),
+            "nb": np.concatenate([o[3] for o in out])})
 
     gram_pairs.__name__ = "gram_pairs"
+
+    def pair_part(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            p = _mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ bb)
+        return batch.append_column(
+            "__part", pa.array((p % np.uint64(_NUM_PARTS)).astype(np.int64)))
+
+    def count_shared(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["doc_a"].to_numpy()
+        bb = g["doc_b"].to_numpy()
+        na = g["na"].to_numpy()
+        nb = g["nb"].to_numpy()
+        order = np.lexsort((bb, a))
+        a, bb, na, nb = a[order], bb[order], na[order], nb[order]
+        key_change = np.concatenate(([True], (a[1:] != a[:-1])
+                                     | (bb[1:] != bb[:-1])))
+        starts = np.flatnonzero(key_change)
+        sizes = np.diff(np.concatenate((starts, [a.size])))
+        sh = sizes.astype(np.float64)
+        naf = na[starts].astype(np.float64)
+        nbf = nb[starts].astype(np.float64)
+        j = np.round(sh / (naf + nbf - sh), 6)
+        m = j >= threshold
+        return pd.DataFrame({"doc_a": a[starts][m], "doc_b": bb[starts][m],
+                             "jaccard": j[m]})
+
+    count_shared.__name__ = "count_shared"
     grams = ds.map_batches(explode, batch_format="pyarrow")
-    pairs = grams.groupby("gram").map_groups(gram_pairs, batch_format="pandas")
-    shared = pairs.groupby(["doc_a", "doc_b", "na", "nb"]).aggregate(
-        Count(alias_name="shared"))
-
-    def jaccard(batch: pa.Table) -> pa.Table:
-        sh = batch["shared"].to_numpy().astype(np.float64)
-        na = batch["na"].to_numpy().astype(np.float64)
-        nb = batch["nb"].to_numpy().astype(np.float64)
-        j = sh / (na + nb - sh)
-        t = batch.append_column("jaccard", pa.array(np.round(j, 6)))
-        return t.filter(pc.field("jaccard") >= threshold).select(
-            ["doc_a", "doc_b", "jaccard"])
-
-    return shared.map_batches(jaccard, batch_format="pyarrow")
+    pairs = grams.groupby("__part").map_groups(gram_pairs,
+                                               batch_format="pandas")
+    return (pairs.map_batches(pair_part, batch_format="pyarrow")
+            .groupby("__part").map_groups(count_shared,
+                                          batch_format="pandas"))
