@@ -394,6 +394,39 @@ FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}"""
 
 
+def _ann_lsh_sql(nbits: int = 6, seed: int = 5, dim: int = 64,
+                 k: int = 10) -> str:
+    """Independent DuckDB recomputation of lsh_knn: identical seeded
+    hyperplanes embedded as literals; bucket = sign bits of raw dot products
+    (normalization-invariant, matches the engine's raw-dot bit path); each
+    query ranks only its own bucket's vectors by rounded cosine."""
+    from lucene_msmarco_ray.ops.ann import lsh_planes
+    planes = lsh_planes(nbits, dim, seed)
+    vals = ", ".join(
+        f"({b}, [{', '.join(repr(float(x)) for x in planes[b])}]::DOUBLE[])"
+        for b in range(nbits))
+    return f"""WITH p(b, vec) AS (VALUES {vals}),
+bk AS (SELECT e.vec_id,
+              sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.vec) > 0
+                       THEN (1::BIGINT << p.b) ELSE 0 END)::BIGINT AS bucket
+       FROM embeddings e CROSS JOIN p GROUP BY e.vec_id),
+q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id IN (0, 1, 2)),
+sims AS (SELECT q.q_id, e.vec_id,
+                round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6)
+                  AS sim
+         FROM q
+         JOIN bk bq ON bq.vec_id = q.q_id
+         JOIN bk bv ON bv.bucket = bq.bucket
+         JOIN embeddings e ON e.vec_id = bv.vec_id),
+ranked AS (SELECT q_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY sim DESC, vec_id) AS rank
+           FROM sims)
+SELECT q_id, vec_id, rank::BIGINT AS rank, sim FROM ranked
+WHERE rank <= {k}"""
+
+
 def _qpp_sql(k1: float, b: float, k: int = 50) -> str:
     """NQC / cumulative-NQC / avgIDF / maxIDF per gate query. idf = ln(N/df)
     with the reference's two df=0 conventions (see qpp/methods.py)."""
@@ -904,4 +937,5 @@ FROM w1 JOIN nrm ON nrm.doc_id = w1.doc_id""",
         "bigram_count": _bigram_sql(),
         "minhash_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),
+        "ann_lsh": _ann_lsh_sql(),
     }

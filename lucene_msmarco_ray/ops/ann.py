@@ -5,12 +5,26 @@
   top-k keeps the shuffle tiny (≤ k·n_queries rows per batch), then a single
   per-query group merge produces the final top-k. This is the baseline and
   the oracle for approximate variants.
-* lsh_knn — random-hyperplane LSH bucketing (Charikar 2002): probe only the
-  query buckets; recall < 1 traded for touching a fraction of the corpus —
-  the scale path when brute force is too wide.
+* lsh_knn — random-hyperplane LSH bucketing (Charikar 2002): each query is
+  scored ONLY against vectors in its own bucket; recall < 1 traded for
+  touching a fraction of the corpus — the scale path when brute force is
+  too wide. Deterministic seeded hyperplanes, so the DuckDB gate oracle can
+  recompute buckets from embedded plane literals.
+* embedding_neardup — exact all-pairs cosine ≥ threshold via a blocked
+  self-join: vectors are hash-partitioned into B blocks written as
+  partitioned parquet (one pass, resumable), then a dataset of (i ≤ j)
+  block-pair descriptors fans out one matmul task per block pair with
+  per-actor block caching. No driver-side materialization and no full-matrix
+  broadcast; memory per task is O((N/B)·d).
+
+Tie discipline (gate parity): every top-k selection — partial AND final —
+orders by (round(sim, 6) DESC, vec_id ASC), so a doc cut at a batch boundary
+can never round-tie its way into disagreeing with the SQL oracle.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pandas as pd
@@ -32,34 +46,54 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / nrm
 
 
-class _BruteForceStage:
-    """Per-batch cosine vs the broadcast query matrix → partial top-k rows."""
+def _partial_topk(sims: np.ndarray, ids: np.ndarray, qids: np.ndarray,
+                  k: int) -> pa.Table:
+    """Per-query top-k of one batch, selected on (round(sim,6) desc, id asc)
+    so partial selection agrees with the final merge's rounded ordering."""
+    out_q, out_id, out_sim = [], [], []
+    for qi in range(sims.shape[0]):
+        s = sims[qi]
+        live = np.flatnonzero(np.isfinite(s))
+        if live.size == 0:
+            continue
+        order = np.lexsort((ids[live], -np.round(s[live], 6)))[:k]
+        idx = live[order]
+        out_q.extend([qids[qi]] * idx.size)
+        out_id.append(ids[idx])
+        out_sim.append(s[idx])
+    return pa.table({
+        "q_id": pa.array(out_q, pa.int64()),
+        "vec_id": pa.array(np.concatenate(out_id) if out_id else
+                           np.empty(0, np.int64)),
+        "sim": pa.array(np.concatenate(out_sim) if out_sim else
+                        np.empty(0, np.float64)),
+    })
 
-    def __init__(self, qref, k: int, id_col: str, vec_col: str):
+
+class _BruteForceStage:
+    """Per-batch cosine vs the broadcast query matrix → partial top-k rows.
+
+    ``bucket_col``: when set (lsh_knn), a query only scores batch vectors
+    whose bucket equals the query's own bucket."""
+
+    def __init__(self, qref, k: int, id_col: str, vec_col: str,
+                 bucket_col: str | None = None):
         q = ray.get(qref)
         self.qids = q["qids"]
         self.qmat = _normalize(q["mat"])
+        self.qbuckets = q.get("buckets")
         self.k, self.id_col, self.vec_col = k, id_col, vec_col
+        self.bucket_col = bucket_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         mat = _normalize(_batch_matrix(batch, self.vec_col))
         sims = self.qmat @ mat.T                      # (nq, nb)
-        k = min(self.k, sims.shape[1])
-        out_q, out_id, out_sim = [], [], []
-        for qi in range(sims.shape[0]):
-            s = sims[qi]
-            idx = np.argpartition(-s, k - 1)[:k] if s.size > k else np.arange(s.size)
-            out_q.extend([self.qids[qi]] * idx.size)
-            out_id.append(ids[idx])
-            out_sim.append(s[idx])
-        return pa.table({
-            "q_id": pa.array(out_q, pa.int64()),
-            "vec_id": pa.array(np.concatenate(out_id) if out_id else
-                               np.empty(0, np.int64)),
-            "sim": pa.array(np.concatenate(out_sim) if out_sim else
-                            np.empty(0, np.float64)),
-        })
+        if self.bucket_col is not None:
+            vb = batch[self.bucket_col].to_numpy(zero_copy_only=False)
+            sims = np.where(self.qbuckets[:, None] == vb[None, :],
+                            sims, -np.inf)
+        return _partial_topk(sims, ids, self.qids, self.k)
 
 
 def _final_topk(k: int):
@@ -76,8 +110,8 @@ def _final_topk(k: int):
 def brute_force_knn(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding"):
     """Exact cosine top-k → (q_id, vec_id, rank, sim[rounded 6dp]).
-    Ties broken (sim desc, vec_id asc) on the ROUNDED similarity so ranks are
-    reproducible against the SQL oracle."""
+    Ties broken (sim desc, vec_id asc) on the ROUNDED similarity at every
+    selection stage so ranks are reproducible against the SQL oracle."""
     qref = ray.put({"qids": np.asarray(query_ids, np.int64),
                     "mat": np.asarray(query_mat, np.float64)})
     partial = ds.map_batches(
@@ -88,96 +122,156 @@ def brute_force_knn(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 1
                                               batch_format="pandas")
 
 
-class _NearDupStage:
-    """block of vectors × broadcast full matrix → pairs (a < b) with cosine
-    ≥ threshold. Exact baseline; the scale path buckets with lsh first so
-    each block only multiplies against its candidate buckets."""
+class _BlockPairStage:
+    """(block_i, block_j) descriptor → all cross pairs with cosine ≥ t.
 
-    def __init__(self, allref, threshold: float, id_col: str, vec_col: str):
-        a = ray.get(allref)
-        self.all_ids = a["ids"]
-        self.all_mat = a["mat"]          # already normalized
-        self.threshold = threshold
+    Loads the two partitioned-parquet blocks (per-actor cache — a block is
+    read once per actor, not once per pair task) and does one (n_i × n_j)
+    matmul. Partitioning assumption: N/B rows per block fit one worker's
+    heap; raise ``num_blocks`` as N grows (memory per task is O((N/B)·d))."""
+
+    def __init__(self, work_dir: str, threshold: float, id_col: str,
+                 vec_col: str):
+        self.work_dir, self.threshold = work_dir, threshold
         self.id_col, self.vec_col = id_col, vec_col
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _load(self, blk: int) -> tuple[np.ndarray, np.ndarray]:
+        if blk not in self._cache:
+            import pyarrow.dataset as pads
+            d = os.path.join(self.work_dir, f"block={blk}")
+            if not os.path.isdir(d):
+                self._cache[blk] = (np.empty(0, np.int64),
+                                    np.empty((0, 1), np.float64))
+            else:
+                t = pads.dataset(d).to_table(
+                    columns=[self.id_col, self.vec_col])
+                ids = t[self.id_col].to_numpy(zero_copy_only=False)
+                self._cache[blk] = (ids.astype(np.int64),
+                                    _normalize(_batch_matrix(t, self.vec_col)))
+        return self._cache[blk]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        mat = _normalize(_batch_matrix(batch, self.vec_col))
-        sims = mat @ self.all_mat.T                  # (nb, N)
-        bi, aj = np.nonzero(sims >= self.threshold)
-        left = ids[bi]
-        right = self.all_ids[aj]
-        keep = left < right                          # each pair once, a < b
+        out_a, out_b, out_c = [], [], []
+        for bi, bj in zip(batch["bi"].to_pylist(), batch["bj"].to_pylist()):
+            ids_i, mat_i = self._load(int(bi))
+            ids_j, mat_j = self._load(int(bj))
+            if ids_i.size == 0 or ids_j.size == 0:
+                continue
+            sims = mat_i @ mat_j.T
+            if bi == bj:
+                pi, pj = np.triu_indices(ids_i.size, k=1)
+                sel = sims[pi, pj] >= self.threshold
+                pi, pj = pi[sel], pj[sel]
+                c = sims[pi, pj]
+            else:
+                pi, pj = np.nonzero(sims >= self.threshold)
+                c = sims[pi, pj]
+            a, b = ids_i[pi], ids_j[pj]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_c.append(np.round(c, 6))
         return pa.table({
-            "doc_a": pa.array(left[keep], pa.int64()),
-            "doc_b": pa.array(right[keep], pa.int64()),
-            "cosine": pa.array(np.round(sims[bi, aj][keep], 6)),
+            "doc_a": pa.array(np.concatenate(out_a) if out_a else
+                              np.empty(0, np.int64)),
+            "doc_b": pa.array(np.concatenate(out_b) if out_b else
+                              np.empty(0, np.int64)),
+            "cosine": pa.array(np.concatenate(out_c) if out_c else
+                               np.empty(0, np.float64)),
         })
 
 
 def embedding_neardup(ds, threshold: float = 0.95, id_col: str = "vec_id",
-                      vec_col: str = "embedding"):
-    """Embedding-cosine near-duplicate pairs → (doc_a, doc_b, cosine).
-    Exact all-pairs via broadcast matrix + blocked matmul — O(N²) similarity
-    but only O(N·d) shipped; swap in lsh_knn bucketing for the web-scale
-    path."""
-    import pyarrow.parquet  # noqa: F401  (ensure arrow loaded in workers)
-    mats = []
-    ids = []
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
-        ids.append(b[id_col].to_numpy(zero_copy_only=False))
-        mats.append(_normalize(_batch_matrix(b, vec_col)))
-    allref = ray.put({"ids": np.concatenate(ids),
-                      "mat": np.concatenate(mats)})
-    return ds.map_batches(
-        _NearDupStage, fn_constructor_kwargs=dict(
-            allref=allref, threshold=threshold, id_col=id_col,
+                      vec_col: str = "embedding", num_blocks: int = 8,
+                      work_dir: str | None = None):
+    """Embedding-cosine near-duplicate pairs → (doc_a, doc_b, cosine ≥ t).
+
+    Exact blocked self-join: ONE streaming pass hash-partitions vectors into
+    ``num_blocks`` parquet blocks (resumable artifact), then B(B+1)/2
+    block-pair tasks each do one matmul. Nothing is materialized on the
+    driver and no full matrix enters the object store — per-task memory is
+    O((N/B)·d). Cost is O(N²·d/P) similarity like any exact all-pairs; for
+    web scale use lsh_knn bucketing as the candidate generator instead."""
+    import tempfile
+
+    from .dedup import _mix64
+    work_dir = work_dir or tempfile.mkdtemp(prefix="graft_neardup_")
+
+    def add_block(batch: pa.Table) -> pa.Table:
+        v = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        blk = (_mix64(v) % np.uint64(num_blocks)).astype(np.int64)
+        return batch.append_column("block", pa.array(blk))
+
+    (ds.map_batches(add_block, batch_format="pyarrow")
+       .write_parquet(work_dir, partition_cols=["block"]))
+
+    import ray.data as rd
+    pairs = [{"bi": i, "bj": j}
+             for i in range(num_blocks) for j in range(i, num_blocks)]
+    desc = rd.from_items(pairs, override_num_blocks=len(pairs))
+    return desc.map_batches(
+        _BlockPairStage, fn_constructor_kwargs=dict(
+            work_dir=work_dir, threshold=threshold, id_col=id_col,
             vec_col=vec_col),
-        batch_format="pyarrow", batch_size=2048, concurrency=(1, 8))
+        batch_format="pyarrow", batch_size=1, concurrency=(1, 8))
 
 
 class _LshStage:
-    """vec → (bucket, vec_id, embedding passthrough for rescoring)."""
+    """vec → (bucket, vec_id, embedding passthrough for rescoring).
+
+    Bits come from the RAW (unnormalized) dot product — the sign is
+    normalization-invariant, and raw dots are what the SQL oracle computes
+    (list_dot_product against embedded plane literals)."""
 
     def __init__(self, planes_ref, id_col: str, vec_col: str):
         self.planes = ray.get(planes_ref)
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = _normalize(_batch_matrix(batch, self.vec_col))
-        bits = (mat @ self.planes.T) > 0                    # (n, nbits)
-        bucket = np.zeros(mat.shape[0], dtype=np.int64)
-        for b in range(self.planes.shape[0]):
-            bucket |= bits[:, b].astype(np.int64) << b
+        mat = _batch_matrix(batch, self.vec_col)
+        bucket = lsh_buckets(mat, self.planes)
         return batch.append_column("bucket", pa.array(bucket))
+
+
+def lsh_planes(nbits: int, dim: int, seed: int = 5) -> np.ndarray:
+    """Seeded hyperplanes — exposed so the SQL oracle can embed the exact
+    constants."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim))
+
+
+def lsh_buckets(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) > 0
+    bucket = np.zeros(mat.shape[0], dtype=np.int64)
+    for b in range(planes.shape[0]):
+        bucket |= bits[:, b].astype(np.int64) << b
+    return bucket
 
 
 def lsh_knn(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 10,
             nbits: int = 8, seed: int = 5, id_col: str = "vec_id",
             vec_col: str = "embedding"):
-    """Approximate cosine top-k probing only each query's LSH bucket.
+    """Approximate cosine top-k: each query probes ONLY its own LSH bucket.
+    Vectors outside every query's bucket are filtered before scoring.
     Partitioning assumption: bucket sizes ≈ n/2^nbits; skewed data ⇒ pick
     nbits so the hottest bucket still fits one group."""
-    dim = query_mat.shape[1]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((nbits, dim))
+    query_mat = np.asarray(query_mat, np.float64)
+    planes = lsh_planes(nbits, query_mat.shape[1], seed)
     planes_ref = ray.put(planes)
-    qmat = _normalize(np.asarray(query_mat, np.float64))
-    qbits = (qmat @ planes.T) > 0
-    qbucket = np.zeros(qmat.shape[0], dtype=np.int64)
-    for b in range(nbits):
-        qbucket |= qbits[:, b].astype(np.int64) << b
-    wanted = set(int(x) for x in qbucket)
+    qbucket = lsh_buckets(query_mat, planes)
+    wanted = sorted(set(int(x) for x in qbucket))
 
     bucketed = ds.map_batches(
         _LshStage, fn_constructor_kwargs=dict(
             planes_ref=planes_ref, id_col=id_col, vec_col=vec_col),
         batch_format="pyarrow", concurrency=(1, 8))
-    probed = bucketed.filter(expr=f"bucket in {sorted(wanted)}")
-    qref = ray.put({"qids": np.asarray(query_ids, np.int64), "mat": qmat})
+    probed = bucketed.filter(expr=f"bucket in {wanted}")
+    qref = ray.put({"qids": np.asarray(query_ids, np.int64),
+                    "mat": query_mat, "buckets": qbucket})
     partial = probed.map_batches(
         _BruteForceStage, fn_constructor_kwargs=dict(
-            qref=qref, k=k, id_col=id_col, vec_col=vec_col),
+            qref=qref, k=k, id_col=id_col, vec_col=vec_col,
+            bucket_col="bucket"),
         batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
     return partial.groupby("q_id").map_groups(_final_topk(k),
                                               batch_format="pandas")

@@ -37,3 +37,53 @@ def test_embedding_neardup(ray_session):
     assert all(a < b for a, b in pairs)          # each pair exactly once, a<b
     assert not any({a, b} == {0, 2} for a, b in pairs)
     assert (out["cosine"] >= 0.95).all()
+
+
+def test_embedding_neardup_matches_allpairs(ray_session, tmp_path):
+    """Block-pair self-join == naive all-pairs, at several block counts
+    (pairs must appear exactly once regardless of block assignment)."""
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.ann import embedding_neardup
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((40, 8))
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    thr = 0.3
+    exp = {(i, j) for i in range(40) for j in range(i + 1, 40)
+           if sims[i, j] >= thr}
+    for nb in (1, 3, 8):
+        ds = rd.from_items([{"vec_id": i, "embedding": m[i].tolist()}
+                            for i in range(40)])
+        out = embedding_neardup(ds, threshold=thr, num_blocks=nb,
+                                work_dir=str(tmp_path / f"nb{nb}")).to_pandas()
+        got = set(zip(out["doc_a"], out["doc_b"]))
+        assert got == exp, f"num_blocks={nb}"
+        assert len(out) == len(got)              # no duplicate emission
+
+
+def test_lsh_knn_per_query_bucket(ray_session):
+    """Each query's results only contain vectors from ITS bucket, and sims
+    agree with brute force on those vectors."""
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.ann import (
+        brute_force_knn,
+        lsh_buckets,
+        lsh_knn,
+        lsh_planes,
+    )
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((60, 16))
+    ds = rd.from_items([{"vec_id": i, "embedding": m[i].tolist()}
+                        for i in range(60)])
+    qids = np.array([0, 5])
+    qmat = m[[0, 5]]
+    out = lsh_knn(ds, qids, qmat, k=5, nbits=3, seed=5).to_pandas()
+    planes = lsh_planes(3, 16, seed=5)
+    buckets = lsh_buckets(m, planes)
+    for q in (0, 5):
+        sub = out[out["q_id"] == q]
+        assert (buckets[sub["vec_id"].to_numpy()] == buckets[q]).all()
+    # the query vector itself (sim 1.0) is always in its own bucket → rank 1
+    assert out[out["q_id"] == 0].iloc[0]["vec_id"] == 0
