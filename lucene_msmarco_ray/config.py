@@ -39,6 +39,11 @@ class EngineConfig:
     # one build partition are split into doc-range salt buckets (SURVEY.md I6).
     salt_docs_per_bucket: int = 1 << 18
 
+    # Forward index (per-doc term vectors) partitioned by doc-id range:
+    # bucket = doc_id // fwd_docs_per_bucket. Sized so one bucket's rows are
+    # a comfortable single read (~65k docs × ~60 terms ≈ 4M small rows).
+    fwd_docs_per_bucket: int = 1 << 16
+
     # --- build ---
     tokenize_batch_size: int = 1024
     tokenize_concurrency: int | None = None  # None → let Ray autoscale tasks

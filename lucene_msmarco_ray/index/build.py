@@ -194,6 +194,19 @@ def _gkey_files(out_dir: str) -> dict[int, list[str]]:
     return out
 
 
+def fwd_bucket_dirs(index_dir: str) -> dict[int, list[str]]:
+    """doc-bucket → directories of the forward index (kind=f rows), across
+    all staged build partitions. A bucket's term vectors are the union of
+    its dirs (one per build partition that saw docs of that range)."""
+    out: dict[int, list[str]] = {}
+    for pdir in _staged_dirs(index_dir, "f"):
+        for entry in sorted(os.listdir(pdir)):
+            if entry.startswith("gkey="):
+                b = int(entry.split("=", 1)[1])
+                out.setdefault(b, []).append(os.path.join(pdir, entry))
+    return out
+
+
 def _staged_dirs(out_dir: str, kind: str) -> list[str]:
     base = os.path.join(out_dir, "staged")
     if not os.path.isdir(base):
@@ -233,6 +246,7 @@ def build_index(
         "stopword_file": cfg.stopword_file, "block_size": cfg.block_size,
         "num_shards": cfg.num_shards,
         "salt_docs_per_bucket": cfg.salt_docs_per_bucket,
+        "fwd_docs_per_bucket": cfg.fwd_docs_per_bucket,
         "text_col": text_col, "id_col": id_col,
     }
     if not resume:
@@ -342,6 +356,9 @@ def build_index(
             stats["num_terms"] = prior["num_terms"]
 
     stage_secs["merge"] = round(_time.monotonic() - _t0, 3)
+    # forward index (kind=f) is emitted by the SAME tokenize pass /
+    # partitioned write as the postings — no separate stage
+    stats["fwd_bucket_docs"] = int(cfg.fwd_docs_per_bucket)
     stats["stage_secs"] = stage_secs
     man.set_stats(stats)
     man.save()

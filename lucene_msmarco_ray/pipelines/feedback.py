@@ -245,41 +245,87 @@ def sparsevec_topdocs(run_ds, index_dir: str, k: int = 10,
         fn_constructor_kwargs=dict(index_dir=index_dir, k=k, **kw))
 
 
-def lm_doc_weights(index_dir: str):
+class _LmDocWeightStage:
+    """One fwd bucket dir → (doc_id, term, wt) rows, fully vectorized.
+
+    The df map is deserialized ONCE per actor in ``__init__`` (J3 broadcast;
+    round-1 review flagged the old per-group ``ray.get``), and the forward
+    index's doc-bucket partitioning means every doc's rows are already
+    co-located — ZERO shuffle, one task per bucket."""
+
+    __name__ = "lm_doc_weights"
+
+    def __init__(self, df_ref, num_docs: int):
+        import pandas as _pd
+        dfm = ray.get(df_ref)
+        self.df_series = _pd.Series(dfm, dtype=np.float64)
+        self.num_docs = float(num_docs)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..fdbk.srlm import LAMBDA_ODDS
+        from ..index.build import pads_dirs
+        out = []
+        for dirs in batch["dirs"]:
+            t = pads_dirs(list(dirs)).to_table(
+                columns=["doc_id", "term", "tf"])
+            doc = t["doc_id"].to_numpy(zero_copy_only=False)
+            tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+            term = t["term"].to_pandas()
+            df = term.map(self.df_series).to_numpy()
+            order = np.argsort(doc, kind="stable")
+            doc, tf, df = doc[order], tf[order], df[order]
+            term = term.to_numpy()[order]
+            starts = np.flatnonzero(np.concatenate(([True],
+                                                    doc[1:] != doc[:-1])))
+            sizes = np.diff(np.concatenate((starts, [doc.size])))
+            dl = np.repeat(np.add.reduceat(tf, starts), sizes)
+            w = np.log1p(LAMBDA_ODDS * (tf / dl) * (self.num_docs / df))
+            # df==0 terms drop before normalization (lm_term_weights contract)
+            w = np.where(df > 0, w, 0.0)
+            z = np.repeat(np.sqrt(np.add.reduceat(w * w, starts)), sizes)
+            keep = (df > 0) & (z > 0)
+            out.append(pd.DataFrame({
+                "doc_id": doc[keep].astype(np.int64),
+                "term": term[keep],
+                "wt": np.round(w[keep] / z[keep], 6)}))
+        if not out:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "term": pd.Series([], dtype=str),
+                                 "wt": pd.Series([], dtype=np.float64)})
+        return pd.concat(out, ignore_index=True)
+
+
+def lm_doc_weights(index_dir: str, concurrency=(1, 8)):
     """M6 as a dataset op: every (doc, term) → L2-normalized LM-idf weight.
-    df map is broadcast (tiny vocab relative to postings; J3 semi-join-then-
-    broadcast pattern); the per-doc normalization runs in groupby(doc_id)."""
+    df map is broadcast once per actor (J3); the per-doc normalization is
+    vectorized inside each forward-index bucket (docs are co-located by the
+    build-time ``fwd/bucket=doc//B`` partitioning), so the whole op is a
+    shuffle-free map over bucket descriptors."""
+    import json
     import os
 
     import pyarrow.dataset as pads
     import ray.data as rd
 
-    from ..index.build import expand_parquet_files
     seg = pads.dataset(os.path.join(index_dir, "segments")).to_table(
         columns=["term", "df"])
     df_ref = ray.put(dict(zip(seg["term"].to_pylist(),
                               seg["df"].to_pylist())))
-    import json
     with open(os.path.join(index_dir, "stats.json")) as f:
         num_docs = json.load(f)["num_docs"]
 
-    base = os.path.join(index_dir, "staged")
-    dirs = sorted(os.path.join(base, p, "kind=p") for p in os.listdir(base)
-                  if p.startswith("part="))
-
-    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
-        from ..fdbk.srlm import lm_term_weights
-        dfm = ray.get(df_ref)
-        vec = dict(zip(g["term"], g["tf"]))
-        wts = lm_term_weights(vec, num_docs, lambda t: dfm.get(t, 0))
-        doc = int(g["doc_id"].iloc[0])
-        return pd.DataFrame({"doc_id": doc, "term": sorted(wts),
-                             "wt": [round(wts[t], 6) for t in sorted(wts)]})
-
-    per_doc.__name__ = "lm_doc_weights"
-    ds = rd.read_parquet(expand_parquet_files(dirs),
-                         columns=["term", "doc_id", "tf"])
-    return ds.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+    from ..index.build import fwd_bucket_dirs
+    buckets = fwd_bucket_dirs(index_dir)
+    if not buckets:
+        raise FileNotFoundError(
+            f"no forward index (staged kind=f) under {index_dir} — rebuild "
+            "with build_index() to enable lm_doc_weights")
+    desc = rd.from_items([{"dirs": ds_} for _, ds_ in sorted(buckets.items())],
+                         override_num_blocks=len(buckets))
+    return desc.map_batches(
+        _LmDocWeightStage, batch_format="pandas", batch_size=1,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(df_ref=df_ref, num_docs=num_docs))
 
 
 def feedback_rerank(run_ds, index_dir: str, queries: dict[str, str],

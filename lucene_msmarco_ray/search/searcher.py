@@ -177,16 +177,29 @@ class IndexReader:
     # --- forward index (per-doc term vectors) ---
     def term_vectors(self, doc_ids) -> dict[int, dict[str, int]]:
         """Per-doc term→tf maps for the given docs — replaces the reference's
-        reader.getTermVector (SURVEY.md §1.1). Reads the staged postings with
-        a doc_id predicate; partitioning assumption: the staged layout is
-        term-oriented, so this is a scan-with-filter — fine for feedback-size
-        doc sets (tens per query); a doc-partitioned forward-index copy is
-        the scale path for bulk exports (SparseVecWriter S8)."""
-        base = os.path.join(self.index_dir, "staged")
-        dirs = sorted(os.path.join(base, p, "kind=p") for p in os.listdir(base)
-                      if p.startswith("part="))
+        reader.getTermVector (SURVEY.md §1.1). Reads ONLY the doc-bucket
+        partitions of the build-time forward index (``fwd/bucket=<doc//B>``)
+        holding the requested ids, with a doc_id predicate for row-group
+        pruning inside each bucket — cost is O(buckets touched), independent
+        of corpus size. Falls back to a staged-postings scan for indexes
+        built before the fwd stage existed (legacy; full-scan cost)."""
         ids = sorted(set(int(d) for d in doc_ids))
-        from ..index.build import pads_dirs
+        if not ids:
+            return {}
+        from ..index.build import fwd_bucket_dirs, pads_dirs
+        bucket_docs = int(self.stats.get("fwd_bucket_docs", 0))
+        if not hasattr(self, "_fwd_dirs"):
+            self._fwd_dirs = fwd_bucket_dirs(self.index_dir) \
+                if bucket_docs else {}
+        if self._fwd_dirs:
+            dirs = [d for b in sorted({i // bucket_docs for i in ids})
+                    for d in self._fwd_dirs.get(b, ())]
+            if not dirs:
+                return {i: {} for i in ids}
+        else:                                    # legacy pre-fwd index
+            base = os.path.join(self.index_dir, "staged")
+            dirs = sorted(os.path.join(base, p, "kind=p")
+                          for p in os.listdir(base) if p.startswith("part="))
         tbl = pads_dirs(dirs).to_table(
             columns=["term", "doc_id", "tf"],
             filter=pc.field("doc_id").isin(ids))

@@ -59,6 +59,30 @@ def brute_force_bm25(docs, qterms, k, k1=0.7, b=0.3):
     return scored[:k]
 
 
+def test_forward_index_buckets(ray_session, tmp_path, corpus_tokens):
+    """fwd/ is doc-bucket partitioned and term_vectors reads span buckets."""
+    import os
+
+    import ray.data as rd
+    out = str(tmp_path / "fwd_idx")
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"])
+    cfg = CFG.with_(fwd_docs_per_bucket=64)      # force many buckets
+    stats = build_index(ds, out, cfg, text_col="text", id_col="doc_id")
+    assert stats["fwd_bucket_docs"] == 64
+    from lucene_msmarco_ray.index.build import fwd_bucket_dirs
+    buckets = fwd_bucket_dirs(out)
+    assert len(buckets) > 2
+    assert sorted(buckets) == list(range(len(buckets)))   # contiguous ranges
+    r = IndexReader(out)
+    ids = sorted(corpus_tokens)
+    probe = [ids[0], ids[len(ids) // 2], ids[-1]]   # spans several buckets
+    vecs = r.term_vectors(probe)
+    for d in probe:
+        from collections import Counter
+        assert vecs[d] == dict(Counter(corpus_tokens[d]))
+
+
 def test_build_stats(built_index, corpus_tokens):
     _, stats = built_index
     assert stats["num_docs"] == len(corpus_tokens)
