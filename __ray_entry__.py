@@ -394,6 +394,261 @@ FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}"""
 
 
+def _ranked_cte(k1: float, b: float) -> str:
+    bm = _bm25_sql(k1, b)
+    return bm[: bm.rindex(")\nSELECT")] + ")"
+
+
+def _qp_values() -> str:
+    """Per-OCCURRENCE query terms (duplicates preserved — fit/expand loops
+    count them twice, reference behavior)."""
+    rows = []
+    for qid, text in GATE_QUERIES:
+        for pos, term in enumerate(text.split()):
+            rows.append(f"('{qid}', {pos}, '{term}')")
+    return "qp(qid, pos, term) AS (VALUES " + ", ".join(rows) + ")"
+
+
+_RELD = """reld AS (
+  SELECT qid, doc_id FROM (
+    SELECT qq.qid, d.doc_id,
+           row_number() OVER (PARTITION BY qq.qid ORDER BY d.doc_id) AS rn
+    FROM (SELECT DISTINCT qid FROM qv) qq
+    JOIN documents d ON (d.doc_id * 7 + CAST(qq.qid AS INT) * 13) % 4 >= 2)
+  WHERE rn <= 5)"""
+
+_LMW = """w1 AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + 9.0 * (tf.tf / dl.dl) * (s.n / df.df)) AS w
+  FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.term = tf.term CROSS JOIN stats s),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS z FROM w1 GROUP BY 1),
+lmw AS (SELECT w1.doc_id, w1.term, w1.w / nrm.z AS w
+        FROM w1 JOIN nrm ON nrm.doc_id = w1.doc_id)"""
+
+# RM-conditional weights over the run's top-20 (RelevanceModelConditional
+# semantics incl. the sum_df=numTopDocs and per-unique-term sum_sim quirks)
+_RMCOND = """top20 AS (SELECT qid, doc_id, score FROM ranked WHERE rank <= 20),
+tstat AS (SELECT t20.qid, tf.term, count(*)::DOUBLE AS tdf
+          FROM top20 t20 JOIN tf ON tf.doc_id = t20.doc_id GROUP BY 1, 2),
+nuniq AS (SELECT doc_id, count(*)::DOUBLE AS nu FROM tf GROUP BY 1),
+ssim AS (SELECT t20.qid, sum(t20.score * nuniq.nu) AS sum_sim
+         FROM top20 t20 JOIN nuniq ON nuniq.doc_id = t20.doc_id GROUP BY 1),
+wts AS (
+  SELECT t20.qid, tf.term,
+         sum((0.9 * tf.tf / dl.dl + 0.1 * ts.tdf / 20.0)
+             * t20.score / ssim.sum_sim) AS wt
+  FROM top20 t20
+  JOIN tf ON tf.doc_id = t20.doc_id
+  JOIN dl ON dl.doc_id = t20.doc_id
+  JOIN tstat ts ON ts.qid = t20.qid AND ts.term = tf.term
+  JOIN ssim ON ssim.qid = t20.qid
+  GROUP BY 1, 2)"""
+
+
+def _fdbk_rerank_sql(k1: float, b: float) -> str:
+    """RM-conditional KL-div rerank of the whole run
+    (fdbk/RelevanceModelConditional.java + KLDivReranker.java)."""
+    return _ranked_cte(k1, b) + f""",
+{_RMCOND},
+kl AS (SELECT r.qid, r.doc_id,
+              sum(w.wt * ln(w.wt / (tf.tf / dl.dl))) AS kl
+       FROM ranked r
+       JOIN wts w ON w.qid = r.qid
+       JOIN tf ON tf.doc_id = r.doc_id AND tf.term = w.term
+       JOIN dl ON dl.doc_id = r.doc_id
+       GROUP BY 1, 2),
+scored AS (SELECT r.qid, r.doc_id,
+                  round(1 - exp(coalesce(kl.kl, 0)), 6) AS score
+           FROM ranked r
+           LEFT JOIN kl ON kl.qid = r.qid AND kl.doc_id = r.doc_id)
+SELECT qid, doc_id,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY score DESC, doc_id)::BIGINT AS rank,
+       score
+FROM scored"""
+
+
+def _rm3_expand_sql(k1: float, b: float, num_terms: int = 20,
+                    fb: float = 0.2) -> str:
+    """RM3 expansion terms (RelevanceModelIId.java:119-175 selection with the
+    engine's documented (-round(w,9), term) tie-break)."""
+    return _ranked_cte(k1, b) + f""",
+{_qp_values()},
+{_RMCOND},
+idfw AS (SELECT w.qid, w.term, w.wt * ln(s.n / df.df) AS iw
+         FROM wts w JOIN df ON df.term = w.term CROSS JOIN stats s),
+nrm2 AS (SELECT qid, sum(iw) AS norm FROM idfw GROUP BY 1),
+expt AS (SELECT i.qid, i.term, i.iw,
+                row_number() OVER (PARTITION BY i.qid
+                                   ORDER BY round(i.iw, 9) DESC, i.term) AS rn
+         FROM idfw i
+         WHERE NOT EXISTS (SELECT 1 FROM qp
+                           WHERE qp.qid = i.qid AND qp.term = i.term))
+SELECT qp.qid, qp.term, {1.0 - fb} AS boost
+FROM qp WHERE EXISTS (SELECT 1 FROM ranked r WHERE r.qid = qp.qid)
+UNION ALL
+SELECT e.qid, e.term, round({fb} * e.iw / n.norm, 6) AS boost
+FROM expt e JOIN nrm2 n ON n.qid = e.qid
+WHERE e.rn <= {num_terms}"""
+
+
+def _srlm_rerank_sql(k1: float, b: float, top_k: int = 50,
+                     prune_to: int = 5) -> str:
+    """SRLM fit over the gate rel docs + rerank of the run's top-50
+    (SupervisedRLM.java:151-270; model weights rounded at 9dp as the
+    engine's srlm_fit does)."""
+    return _ranked_cte(k1, b) + f""",
+{_qp_values()},
+{_RELD},
+{_LMW},
+contrib AS (
+  SELECT qp.term AS qterm, lw.term AS term,
+         round(sum(pq.w * lw.w), 9) AS wt_c
+  FROM qp
+  JOIN reld r ON r.qid = qp.qid
+  JOIN lmw pq ON pq.doc_id = r.doc_id AND pq.term = qp.term
+  JOIN lmw lw ON lw.doc_id = r.doc_id
+  GROUP BY 1, 2),
+model AS (SELECT qterm, term, wt_c FROM (
+    SELECT *, row_number() OVER (PARTITION BY qterm
+                                 ORDER BY wt_c DESC, term) AS rn
+    FROM contrib) WHERE rn <= {prune_to}),
+topk AS (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {top_k}),
+cosims AS (
+  SELECT t.qid, qp.pos, t.doc_id, sum(m.wt_c * lw.w) AS cs
+  FROM topk t
+  JOIN qp ON qp.qid = t.qid
+  JOIN model m ON m.qterm = qp.term
+  JOIN lmw lw ON lw.doc_id = t.doc_id AND lw.term = m.term
+  GROUP BY 1, 2, 3),
+prd AS (SELECT qid, doc_id, sum(cs) AS prd FROM cosims GROUP BY 1, 2),
+scored AS (SELECT t.qid, t.doc_id,
+                  round(coalesce(p.prd, 0) * t.score, 6) AS score
+           FROM topk t
+           LEFT JOIN prd p ON p.qid = t.qid AND p.doc_id = t.doc_id)
+SELECT qid, doc_id,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY score DESC, doc_id)::BIGINT AS rank,
+       score
+FROM scored"""
+
+
+def _rocchio_sql(k1: float, b: float, top_k: int = 20,
+                 num_terms: int = 20) -> str:
+    """Rocchio expansion (KNNRelModel.java:297-360) with the single KNN
+    query = the query itself, rel docs = gate qrels first-5 rel>=2."""
+    return _ranked_cte(k1, b) + f""",
+{_qp_values()},
+{_RELD},
+{_LMW},
+relacc AS (SELECT r.qid, lw.term, sum(lw.w) AS w
+           FROM reld r JOIN lmw lw ON lw.doc_id = r.doc_id GROUP BY 1, 2),
+nrel AS (SELECT qid, count(*)::DOUBLE AS k FROM reld GROUP BY 1),
+nonreld AS (SELECT qid, doc_id FROM (
+    SELECT t.qid, t.doc_id,
+           row_number() OVER (PARTITION BY t.qid ORDER BY t.rank) AS rn
+    FROM (SELECT qid, doc_id, rank FROM ranked WHERE rank <= {top_k}) t
+    WHERE NOT EXISTS (SELECT 1 FROM reld r
+                      WHERE r.qid = t.qid AND r.doc_id = t.doc_id))
+  WHERE rn <= 3),
+nonacc AS (SELECT nr.qid, lw.term, sum(lw.w) AS w
+           FROM nonreld nr JOIN lmw lw ON lw.doc_id = nr.doc_id GROUP BY 1, 2),
+nnon AS (SELECT qid, count(*)::DOUBLE AS k FROM nonreld GROUP BY 1),
+parts AS (
+  SELECT DISTINCT qid, term, 0.5 AS w FROM qp
+  UNION ALL
+  SELECT ra.qid, ra.term, 0.35 * ra.w / nrel.k
+  FROM relacc ra JOIN nrel ON nrel.qid = ra.qid
+  UNION ALL
+  SELECT na.qid, na.term, -0.15 * na.w / nnon.k
+  FROM nonacc na JOIN nnon ON nnon.qid = na.qid),
+merged AS (SELECT qid, term, sum(w) AS w FROM parts GROUP BY 1, 2),
+kept AS (SELECT qid, term, w,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY round(w, 9) DESC, term) AS rn
+         FROM merged WHERE w > 0)
+SELECT qid, term, round(w, 6) AS wt FROM kept WHERE rn <= {num_terms}"""
+
+
+def _qpp_sampling_sql(k1: float, b: float, k: int = 50,
+                      num_samples: int = 10) -> str:
+    """RSD + UEF with the engine's deterministic arithmetic pseudo-shuffle
+    (qpp/methods.py sample_order_keys) — fully recomputable in SQL.
+
+    UEF note: the engine's rank_dist uses positions in the doc-id-SORTED
+    sample (reference binarySearch quirk), which makes the KL rerank order
+    irrelevant to the distance — so the oracle needs only the sample sets,
+    the skip condition (some sample doc within the run's top-20 with
+    positive score-weighted unique-term mass), and the rank arithmetic."""
+    return _ranked_cte(k1, b) + f""",
+qterms AS (SELECT DISTINCT qid, term FROM qv),
+qidf AS (
+  SELECT qt.qid, avg(ln(s.n / coalesce(df.df, 1))) AS avg_idf
+  FROM qterms qt LEFT JOIN df ON df.term = qt.term CROSS JOIN stats s
+  GROUP BY 1),
+cnt AS (SELECT qid, count(*)::DOUBLE AS n FROM ranked GROUP BY 1),
+grid AS (SELECT qid, unnest(range({num_samples})) AS i FROM cnt),
+hkeys AS (
+  SELECT g.qid, g.i, r.doc_id, r.rank, r.score,
+         ((r.doc_id + 1) * 1315423911 + (g.i + 1) * 2654435761
+          + CAST(g.qid AS BIGINT) * 97) % 2147483647 AS h,
+         ((r.doc_id + 1) * 1315423911 + (g.i + 7920) * 2654435761
+          + CAST(g.qid AS BIGINT) * 97) % 2147483647 AS hu
+  FROM grid g JOIN ranked r ON r.qid = g.qid),
+rsamp AS (SELECT * FROM (
+    SELECT qid, i, doc_id, rank, score,
+           row_number() OVER (PARTITION BY qid, i ORDER BY h, doc_id) AS sn
+    FROM hkeys) WHERE sn <= 20),
+rest AS (SELECT qid, i, var_pop(score) AS vp FROM rsamp GROUP BY 1, 2),
+depth AS (SELECT c.qid, unnest(generate_series(1, c.n::BIGINT)) AS d
+          FROM cnt c),
+sfx AS (SELECT qid, d,
+               sum(pow(0.9, d - 1) / d)
+                 OVER (PARTITION BY qid ORDER BY d DESC) AS s
+        FROM depth),
+rbo AS (SELECT sa.qid, sa.i, 0.1 * sum(x.s) AS rbo_v
+        FROM rsamp sa
+        JOIN sfx x ON x.qid = sa.qid AND x.d = greatest(sa.rank, sa.sn)
+        GROUP BY 1, 2),
+rsd AS (SELECT r.qid,
+               sum(r.rbo_v * e.vp * q.avg_idf) / {num_samples} AS rsd
+        FROM rbo r
+        JOIN rest e ON e.qid = r.qid AND e.i = r.i
+        JOIN qidf q ON q.qid = r.qid
+        GROUP BY 1),
+usamp AS (SELECT * FROM (
+    SELECT qid, i, doc_id, rank, score,
+           row_number() OVER (PARTITION BY qid, i ORDER BY hu, doc_id) AS sn
+    FROM hkeys) WHERE sn <= 20),
+nuniq2 AS (SELECT doc_id, count(*)::DOUBLE AS nu FROM tf GROUP BY 1),
+uvalid AS (SELECT u.qid, u.i
+           FROM usamp u JOIN nuniq2 ON nuniq2.doc_id = u.doc_id
+           WHERE u.rank <= 20
+           GROUP BY 1, 2 HAVING sum(u.score * nuniq2.nu) > 0),
+udist AS (
+  SELECT u.qid, u.i,
+         sqrt(sum(pow((u.rank - 1 - u.rbz) / c.n, 2)) / c.n) AS dist
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid, i
+                                     ORDER BY doc_id) - 1 AS rbz
+        FROM usamp) u
+  JOIN cnt c ON c.qid = u.qid
+  GROUP BY u.qid, u.i, c.n),
+totd AS (SELECT d.qid, sum(d.dist) AS td
+         FROM udist d JOIN uvalid v ON v.qid = d.qid AND v.i = d.i
+         GROUP BY 1),
+fest AS (SELECT qid, var_pop(score) AS vp FROM ranked
+         WHERE rank <= {k} GROUP BY 1)
+SELECT f.qid, round(r.rsd, 6) AS rsd,
+       round(CASE WHEN coalesce(t.td, 0) > 0
+                  THEN ({num_samples} / t.td) * f.vp * q.avg_idf
+                  ELSE 0 END, 6) AS uef
+FROM fest f
+JOIN rsd r ON r.qid = f.qid
+JOIN qidf q ON q.qid = f.qid
+LEFT JOIN totd t ON t.qid = f.qid"""
+
+
 def _ann_lsh_sql(nbits: int = 6, seed: int = 5, dim: int = 64,
                  k: int = 10) -> str:
     """Independent DuckDB recomputation of lsh_knn: identical seeded
@@ -680,62 +935,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = frequent_bigrams([t.split() for _, t in GATE_QUERIES], top_n=100)
         return pd.DataFrame(out, columns=["bigram", "freq"])
 
-    def srlm_rerank(sf_dir: str):
-        import pandas as pd
-
-        from lucene_msmarco_ray.fdbk.srlm import SupervisedRLMModel, lm_term_weights
-        from lucene_msmarco_ray.search.searcher import IndexReader
-        idx = _ensure_index(sf_dir)
-        r = IndexReader(idx)
+    def _gate_rel_docs(sf_dir: str) -> dict[str, list[int]]:
         qrels = _gate_qrels(sf_dir)
-        rel_docs = {q: g[g.rel >= 2]["docid"].astype(int).head(5).tolist()
-                    for q, g in qrels.groupby("qid")}
-        all_docs = sorted({d for ds_ in rel_docs.values() for d in ds_})
-        vecs = r.term_vectors(all_docs)
-        wts_cache = {d: lm_term_weights(vecs.get(d, {}), r.num_docs, r.df)
-                     for d in all_docs}
-        model = SupervisedRLMModel()
-        model.fit(dict(GATE_QUERIES), rel_docs, lambda d: wts_cache[d])
-        model.prune()
-        run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3).to_pandas()
-        rows = []
-        for qid, text in GATE_QUERIES:
-            g = run[run.qid == qid].sort_values("rank")
-            topdocs = list(zip(g["doc_id"].astype(int),
-                               g["score"].astype(float)))[:50]
-            dvecs = r.term_vectors([d for d, _ in topdocs])
-            out = model.rerank(
-                text, topdocs,
-                lambda d: lm_term_weights(dvecs.get(d, {}), r.num_docs, r.df))
-            for rank, (doc, score) in enumerate(out, start=1):
-                rows.append({"qid": qid, "doc_id": doc, "rank": rank,
-                             "score": round(score, 6)})
-        return pd.DataFrame(rows)
+        return {q: g[g.rel >= 2]["docid"].astype(int).head(5).tolist()
+                for q, g in qrels.groupby("qid")}
+
+    def srlm_rerank(sf_dir: str):
+        import ray.data as rd
+
+        from lucene_msmarco_ray.pipelines.feedback import srlm_rerank_pipeline
+        idx = _ensure_index(sf_dir)
+        rel_docs = _gate_rel_docs(sf_dir)
+        rel_pairs = rd.from_items(
+            [{"qid": q, "doc_id": d} for q, ds_ in sorted(rel_docs.items())
+             for d in ds_],
+            override_num_blocks=max(1, len(rel_docs)))
+        run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
+        return srlm_rerank_pipeline(run, idx, _gate_query_map(), rel_pairs,
+                                    top_k=50, prune_to=5, round_to=6,
+                                    concurrency=2)
 
     def rocchio(sf_dir: str):
-        import pandas as pd
-
-        from lucene_msmarco_ray.fdbk.srlm import lm_term_weights, rocchio_expand
-        from lucene_msmarco_ray.search.searcher import IndexReader
+        from lucene_msmarco_ray.pipelines.feedback import rocchio_pipeline
         idx = _ensure_index(sf_dir)
-        r = IndexReader(idx)
-        qrels = _gate_qrels(sf_dir)
-        rel_map = {q: set(g[g.rel >= 2]["docid"].astype(int).head(5))
-                   for q, g in qrels.groupby("qid")}
-        run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3).to_pandas()
-        rows = []
-        for qid, text in GATE_QUERIES:
-            g = run[run.qid == qid].sort_values("rank")
-            topdocs = g["doc_id"].astype(int).tolist()[:20]
-            needed = sorted(set(topdocs) | rel_map.get(qid, set()))
-            vecs = r.term_vectors(needed)
-            out = rocchio_expand(
-                text.split(), [(qid, 1.0)], lambda q: rel_map.get(q),
-                topdocs,
-                lambda d: lm_term_weights(vecs.get(d, {}), r.num_docs, r.df))
-            for term, wt in out:
-                rows.append({"qid": qid, "term": term, "wt": round(wt, 6)})
-        return pd.DataFrame(rows)
+        rel_map = _gate_rel_docs(sf_dir)
+        run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
+        return rocchio_pipeline(run, idx, _gate_query_map(), rel_map,
+                                top_k=20, round_to=6, concurrency=2)
 
     def qpp_basic(sf_dir: str):
         from lucene_msmarco_ray.pipelines.feedback import qpp_estimates
@@ -757,13 +983,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
         idx = _ensure_index(sf_dir)
         return feedback_rerank(run, idx, _gate_query_map(),
-                               model="conditional", concurrency=2)
+                               model="conditional", concurrency=2,
+                               round_to=6)
 
     def rm3_expand(sf_dir: str):
         from lucene_msmarco_ray.pipelines.feedback import expand_queries
         run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
         idx = _ensure_index(sf_dir)
-        return expand_queries(run, idx, _gate_query_map(), concurrency=2)
+        return expand_queries(run, idx, _gate_query_map(), concurrency=2,
+                              round_to=6)
 
     return {
         "term_stats": term_stats,
@@ -938,4 +1166,9 @@ FROM w1 JOIN nrm ON nrm.doc_id = w1.doc_id""",
         "minhash_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),
+        "fdbk_rerank": _fdbk_rerank_sql(0.7, 0.3),
+        "rm3_expand": _rm3_expand_sql(0.7, 0.3),
+        "srlm_rerank": _srlm_rerank_sql(0.7, 0.3),
+        "rocchio_expand": _rocchio_sql(0.7, 0.3),
+        "qpp_sampling": _qpp_sampling_sql(0.7, 0.3),
     }

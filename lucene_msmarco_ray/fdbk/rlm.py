@@ -141,7 +141,12 @@ def expand_query(weights: dict[str, float], orig_terms: list[str],
     orig_set = set(orig_terms)
     out = [(t, 1.0 - fb) for t in orig_terms]
     added = 0
-    for term, w in sorted(idf_wts.items(), key=lambda x: -x[1]):
+    # tie-break deviation (flagged): the reference's sort leaves equal-weight
+    # term order to HashMap iteration; we order (-round(w,9), term) so the
+    # selection is deterministic, SQL-reproducible, and immune to last-ulp
+    # float-summation-order noise at the cutoff
+    for term, w in sorted(idf_wts.items(),
+                          key=lambda x: (-round(x[1], 9), x[0])):
         if term in orig_set:
             continue
         out.append((term, fb * (w / norm if norm else 0.0)))

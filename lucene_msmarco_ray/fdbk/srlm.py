@@ -147,14 +147,17 @@ class SupervisedRLMModel:
         # deliberately NOT normalizing here.
 
     def prune(self, top_k: int = NUM_TOP_TERMS) -> None:
+        # tie-break deviation (flagged): (-round(wt,9), term) instead of the
+        # reference's HashMap-order ties — deterministic + SQL-reproducible
         for q, dist in self.dists.items():
-            top = sorted(dist.items(), key=lambda e: -e[1])[:top_k]
+            top = sorted(dist.items(),
+                         key=lambda e: (-round(e[1], 9), e[0]))[:top_k]
             self.dists[q] = dict(top)
 
     def save_tsv(self, path: str) -> None:
         with open(path, "w", encoding="utf-8") as f:
             for q, dist in self.dists.items():
-                items = sorted(dist.items(), key=lambda e: -e[1])
+                items = sorted(dist.items(), key=lambda e: (-e[1], e[0]))
                 body = " ".join(f"{w}{MODEL_DELIM}{wt}" for w, wt in items)
                 f.write(f"{q}\t{body} \n".replace("  \n", " \n"))
 
@@ -231,7 +234,9 @@ def rocchio_expand(query_terms: list[str],
         if nonrel_docs:   # deviation: reference divides by 0 here when empty
             _merge_into(nonrel_acc, -gamma / len(nonrel_docs), orig)
     kept = [(t, w) for t, w in orig.items() if w > 0]
-    kept.sort(key=lambda e: -e[1])
+    # tie-break deviation (flagged): (-round(w,9), term) for determinism
+    # (9dp absorbs float-summation-order noise at the selection cutoff)
+    kept.sort(key=lambda e: (-round(e[1], 9), e[0]))
     return kept[:num_terms]
 
 

@@ -39,7 +39,8 @@ class FeedbackRerankStage:
     __name__ = "feedback_rerank"
 
     def __init__(self, index_dir: str, queries_ref, model: str = "conditional",
-                 num_top_docs: int = RLM_NUM_TOP_DOCS):
+                 num_top_docs: int = RLM_NUM_TOP_DOCS,
+                 round_to: int | None = None):
         self.reader = IndexReader(index_dir)
         self.queries = ray.get(queries_ref)
         from ..analysis import get_analyzer
@@ -49,6 +50,10 @@ class FeedbackRerankStage:
             st.get("normalize_numbers", True) if st["analyzer"] == "english" else False)
         self.model = model
         self.num_top_docs = num_top_docs
+        # round_to: SQL-comparable mode — round scores and rank on
+        # (rounded desc, doc_id asc) instead of the reference's stable sort
+        # (whose tie order depends on float summation order)
+        self.round_to = round_to
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
         qid = str(g["qid"].iloc[0])
@@ -63,6 +68,10 @@ class FeedbackRerankStage:
         else:
             weights = rm_conditional_weights(stats)
         reranked = kldiv_rerank(stats, weights, topdocs)
+        if self.round_to is not None:
+            reranked = sorted(((d, round(s, self.round_to))
+                               for d, s in reranked),
+                              key=lambda x: (-x[1], x[0]))
         return pd.DataFrame({
             "qid": qid,
             "doc_id": [d for d, _ in reranked],
@@ -78,11 +87,12 @@ class ExpandQueryStage:
 
     def __init__(self, index_dir: str, queries_ref, model: str = "conditional",
                  num_top_docs: int = RLM_NUM_TOP_DOCS, num_terms: int = 20,
-                 fb: float = 0.2):
+                 fb: float = 0.2, round_to: int | None = None):
         self.inner = FeedbackRerankStage(index_dir, queries_ref, model,
                                          num_top_docs)
         self.num_terms = num_terms
         self.fb = fb
+        self.round_to = round_to
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
         self_ = self.inner
@@ -92,14 +102,16 @@ class ExpandQueryStage:
         stats = TopDocsTermStats(topdocs, vecs, self_.num_top_docs)
         qterms = self_.analyzer(self_.queries.get(qid, ""))
         if not stats.docvecs or stats.sum_tf == 0:
-            return pd.DataFrame({"qid": qid, "term": qterms,
-                                 "boost": [1.0 - self.fb] * len(qterms)})
-        if self_.model == "iid":
-            weights = rm1_weights(stats, qterms)
+            expanded = [(t, 1.0 - self.fb) for t in qterms]
         else:
-            weights = rm_conditional_weights(stats)
-        expanded = expand_query(weights, qterms, self_.reader.num_docs,
-                                self_.reader.df, self.num_terms, self.fb)
+            if self_.model == "iid":
+                weights = rm1_weights(stats, qterms)
+            else:
+                weights = rm_conditional_weights(stats)
+            expanded = expand_query(weights, qterms, self_.reader.num_docs,
+                                    self_.reader.df, self.num_terms, self.fb)
+        if self.round_to is not None:
+            expanded = [(t, round(b, self.round_to)) for t, b in expanded]
         return pd.DataFrame({"qid": qid,
                              "term": [t for t, _ in expanded],
                              "boost": [b for _, b in expanded]})
@@ -328,24 +340,209 @@ def lm_doc_weights(index_dir: str, concurrency=(1, 8)):
         fn_constructor_kwargs=dict(df_ref=df_ref, num_docs=num_docs))
 
 
+class _SrlmFitStage:
+    """One qid group of (qid, doc_id) rel pairs → per-(qterm, term)
+    co-occurrence contributions (A7 fit is additive over (query, rel-doc)
+    pairs, so partial sums shuffle as tiny rows and one groupby finishes
+    the model — reference: SupervisedRLM.java:151-200)."""
+
+    __name__ = "srlm_fit"
+
+    def __init__(self, index_dir: str, queries_ref):
+        self.reader = IndexReader(index_dir)
+        self.queries = ray.get(queries_ref)
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        from ..fdbk.srlm import lm_term_weights
+        qid = str(g["qid"].iloc[0])
+        qtext = self.queries.get(qid, "")
+        docs = [int(d) for d in g["doc_id"]]
+        vecs = self.reader.term_vectors(docs)
+        out_q, out_t, out_c = [], [], []
+        # reference fit whitespace-splits the raw query text (duplicates
+        # update the same dist twice — kept)
+        for doc in docs:
+            wts = lm_term_weights(vecs.get(doc, {}), self.reader.num_docs,
+                                  self.reader.df)
+            for q in qtext.split():
+                p_q_d = wts.get(q, 0.0)
+                if p_q_d == 0.0:
+                    continue
+                for w, p_w_d in wts.items():
+                    c = p_q_d * p_w_d
+                    if c > 0:
+                        out_q.append(q)
+                        out_t.append(w)
+                        out_c.append(c)
+        return pd.DataFrame({"qterm": out_q, "term": out_t, "c": out_c})
+
+
+def srlm_fit(rel_pairs_ds, index_dir: str, queries: dict[str, str],
+             prune_to: int | None = None, concurrency=(1, 4)):
+    """Distributed SRLM fit: rel pairs → per-query contributions →
+    (qterm, term) sum. The finished model (vocab × ≤num-qterms, tiny) is
+    collected on the driver. Returns a SupervisedRLMModel."""
+    from ray.data.aggregate import Sum
+
+    from ..fdbk.srlm import SupervisedRLMModel
+    qref = ray.put(dict(queries))
+    contrib = rel_pairs_ds.groupby("qid").map_groups(
+        _SrlmFitStage, batch_format="pandas", concurrency=concurrency,
+        fn_constructor_kwargs=dict(index_dir=index_dir, queries_ref=qref))
+    agg = contrib.groupby(["qterm", "term"]).aggregate(
+        Sum("c", alias_name="wt")).to_pandas()
+    model = SupervisedRLMModel()
+    # 9dp rounding: the distributed Sum's float order differs from any
+    # serial fit; rounding makes the model (and its pruned top-k) identical
+    # across parallelism levels and reproducible by the SQL oracle
+    for q, t, w in zip(agg["qterm"], agg["term"], agg["wt"]):
+        model.dists.setdefault(q, {})[t] = round(float(w), 9)
+    if prune_to is not None:
+        model.prune(prune_to)
+    return model
+
+
+class _SrlmRerankStage:
+    """One qid run group → SRLM-reranked rows (SupervisedRLM.java:240-270).
+    ``round_to`` ranks on (rounded score desc, doc_id asc) for SQL parity."""
+
+    __name__ = "srlm_rerank"
+
+    def __init__(self, index_dir: str, queries_ref, dists_ref,
+                 top_k: int = 50, round_to: int | None = None):
+        self.reader = IndexReader(index_dir)
+        self.queries = ray.get(queries_ref)
+        self.dists = ray.get(dists_ref)
+        self.top_k = top_k
+        self.round_to = round_to
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        from ..fdbk.srlm import cosine_sim, lm_term_weights
+        qid = str(g["qid"].iloc[0])
+        topdocs = _topdocs_of(g)[: self.top_k]
+        vecs = self.reader.term_vectors([d for d, _ in topdocs])
+        qterms = self.queries.get(qid, "").split()
+        out = []
+        for doc, score in topdocs:
+            wts = None
+            p_r_d = 0.0
+            for q in qterms:
+                dist = self.dists.get(q)
+                if dist is not None:
+                    if wts is None:
+                        wts = lm_term_weights(vecs.get(doc, {}),
+                                              self.reader.num_docs,
+                                              self.reader.df)
+                    p_r_d += cosine_sim(dist, wts)
+            out.append((doc, p_r_d * score))
+        if self.round_to is not None:
+            out = sorted(((d, round(s, self.round_to)) for d, s in out),
+                         key=lambda x: (-x[1], x[0]))
+        else:
+            out = sorted(out, key=lambda x: -x[1])
+        return pd.DataFrame({
+            "qid": qid,
+            "doc_id": [d for d, _ in out],
+            "rank": np.arange(1, len(out) + 1, dtype=np.int64),
+            "score": [s for _, s in out]})
+
+
+def srlm_rerank_pipeline(run_ds, index_dir: str, queries: dict[str, str],
+                         rel_pairs_ds, top_k: int = 50,
+                         prune_to: int | None = 5, round_to: int | None = None,
+                         concurrency=(1, 4)):
+    """Full SRLM path as Ray stages: distributed fit over the rel pairs,
+    broadcast of the pruned model, then per-query rerank groups."""
+    model = srlm_fit(rel_pairs_ds, index_dir, queries, prune_to=prune_to,
+                     concurrency=concurrency)
+    qref = ray.put(dict(queries))
+    dref = ray.put(model.dists)
+    return run_ds.groupby("qid").map_groups(
+        _SrlmRerankStage, batch_format="pandas", concurrency=concurrency,
+        fn_constructor_kwargs=dict(index_dir=index_dir, queries_ref=qref,
+                                   dists_ref=dref, top_k=top_k,
+                                   round_to=round_to))
+
+
+class _RocchioStage:
+    """One qid run group → Rocchio-expanded (qid, term, wt) rows
+    (KNNRelModel.java:297-360; single KNN query = the query itself here)."""
+
+    __name__ = "rocchio_expand"
+
+    def __init__(self, index_dir: str, queries_ref, rel_ref,
+                 top_k: int = 20, round_to: int | None = None):
+        self.reader = IndexReader(index_dir)
+        self.queries = ray.get(queries_ref)
+        self.rel_map = ray.get(rel_ref)
+        self.top_k = top_k
+        self.round_to = round_to
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        from ..fdbk.srlm import lm_term_weights, rocchio_expand
+        qid = str(g["qid"].iloc[0])
+        g = g[g["rank"] >= 1]                     # drop presence placeholders
+        topdocs = [int(d) for d in
+                   g.sort_values("rank")["doc_id"].head(self.top_k)]
+        rel = self.rel_map.get(qid) or []
+        needed = sorted(set(topdocs) | set(rel))
+        vecs = self.reader.term_vectors(needed)
+        out = rocchio_expand(
+            self.queries.get(qid, "").split(), [(qid, 1.0)],
+            lambda q: set(self.rel_map.get(q) or ()), topdocs,
+            lambda d: lm_term_weights(vecs.get(d, {}), self.reader.num_docs,
+                                      self.reader.df))
+        if self.round_to is not None:
+            out = [(t, round(w, self.round_to)) for t, w in out]
+        return pd.DataFrame({"qid": qid,
+                             "term": [t for t, _ in out],
+                             "wt": [w for _, w in out]})
+
+
+def rocchio_pipeline(run_ds, index_dir: str, queries: dict[str, str],
+                     rel_map: dict[str, list], top_k: int = 20,
+                     round_to: int | None = None, concurrency=(1, 4)):
+    import ray.data as rd
+    qref = ray.put(dict(queries))
+    rref = ray.put({str(k): list(v) for k, v in rel_map.items()})
+    # Rocchio is defined even for queries with an empty ranked list (the rel
+    # accumulator still contributes); a rank=0 placeholder row per query
+    # guarantees each query forms a group, and the stage drops it.
+    ph = rd.from_items(
+        [{"qid": str(q), "doc_id": -1, "rank": 0, "score": 0.0}
+         for q in queries],
+        override_num_blocks=max(1, len(queries))) \
+        .map_batches(lambda df: df, batch_format="pandas")
+    run_ds = run_ds.union(ph)
+    return run_ds.groupby("qid").map_groups(
+        _RocchioStage, batch_format="pandas", concurrency=concurrency,
+        fn_constructor_kwargs=dict(index_dir=index_dir, queries_ref=qref,
+                                   rel_ref=rref, top_k=top_k,
+                                   round_to=round_to))
+
+
 def feedback_rerank(run_ds, index_dir: str, queries: dict[str, str],
                     model: str = "conditional",
-                    num_top_docs: int = RLM_NUM_TOP_DOCS, concurrency=(1, 4)):
+                    num_top_docs: int = RLM_NUM_TOP_DOCS, concurrency=(1, 4),
+                    round_to: int | None = None):
     qref = ray.put(dict(queries))
     return run_ds.groupby("qid").map_groups(
         FeedbackRerankStage, batch_format="pandas", concurrency=concurrency,
         fn_constructor_kwargs=dict(index_dir=index_dir, queries_ref=qref,
-                                   model=model, num_top_docs=num_top_docs))
+                                   model=model, num_top_docs=num_top_docs,
+                                   round_to=round_to))
 
 
 def expand_queries(run_ds, index_dir: str, queries: dict[str, str],
                    model: str = "conditional", num_terms: int = 20,
-                   fb: float = 0.2, concurrency=(1, 4)):
+                   fb: float = 0.2, concurrency=(1, 4),
+                   round_to: int | None = None):
     qref = ray.put(dict(queries))
     return run_ds.groupby("qid").map_groups(
         ExpandQueryStage, batch_format="pandas", concurrency=concurrency,
         fn_constructor_kwargs=dict(index_dir=index_dir, queries_ref=qref,
-                                   model=model, num_terms=num_terms, fb=fb))
+                                   model=model, num_terms=num_terms, fb=fb,
+                                   round_to=round_to))
 
 
 def qpp_estimates(run_ds, index_dir: str, queries: dict[str, str], k: int = 50,

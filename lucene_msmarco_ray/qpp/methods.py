@@ -15,8 +15,13 @@ mirrored from the reference, quirks flagged:
   and takes the first min(20, n) docs; estimate = mean over samples of
   RBO(full, sample) × baseQPP(sample). The reference uses one shared
   java.util.Random(314152) whose consumption order depends on query
-  processing order — per SURVEY.md O6 our engine seeds per (qid, sample) for
-  run-order determinism (documented deviation).
+  processing order — a non-reproducible global. Our deviation (flagged,
+  round 2): the per-(qid, sample) shuffle is a deterministic ARITHMETIC
+  pseudo-permutation (multiplicative hash mod 2^31-1 over (doc_id, sample,
+  qid), ordered ascending) — run-order independent AND reproducible by the
+  DuckDB gate oracle in plain SQL. The estimator's statistical role (random
+  rank-perturbation) is preserved; the exact sample sets differ from any
+  seeded-RNG variant, as they already did from the reference's.
 * UEF (UEFSpecificity.java:29-66): 10 samples; fit RM-conditional on each
   sample, KL-div rerank the sample, rank-dist(full, reranked-sample); final
   = NUM_SAMPLES/Σdist × baseQPP(full).
@@ -39,7 +44,6 @@ from ..fdbk.rlm import (
 )
 
 NUM_SAMPLES = 10
-SEED = 314152  # reference: utils/IndexUtils.java:21
 
 
 def qpp_idfs(terms: list[str], num_docs: int, df_lookup) -> np.ndarray:
@@ -88,11 +92,32 @@ def cumulative_nqc(scores: np.ndarray, k: int, terms: list[str],
     return s / k
 
 
-def _sample_topdocs(rng: np.random.Generator,
-                    topdocs: list[tuple[int, float]],
+M31 = (1 << 31) - 1
+_SAMPLE_A = 1315423911      # doc multiplier
+_SAMPLE_B = 2654435761      # sample-index multiplier
+_SAMPLE_C = 97              # qid multiplier
+
+
+def _qid_key(qid: str) -> int:
+    s = str(qid)
+    return int(s) if s.isdigit() else crc32(s.encode())
+
+
+def sample_order_keys(doc_ids: np.ndarray, qid: str, i: int) -> np.ndarray:
+    """Deterministic pseudo-shuffle key per (doc, sample, qid):
+    ((doc+1)·A + (i+1)·B + qid·C) mod 2^31-1 — all products < 2^62, exact in
+    int64, and recomputable in SQL (the gate oracle embeds this formula)."""
+    d = np.asarray(doc_ids, np.int64)
+    return ((d + 1) * _SAMPLE_A + (i + 1) * _SAMPLE_B
+            + _qid_key(qid) * _SAMPLE_C) % M31
+
+
+def _sample_topdocs(topdocs: list[tuple[int, float]], qid: str, i: int,
                     k: int) -> list[tuple[int, float]]:
-    idx = rng.permutation(len(topdocs))[: min(len(topdocs), k)]
-    return [topdocs[i] for i in idx]
+    ids = np.fromiter((d for d, _ in topdocs), np.int64, len(topdocs))
+    h = sample_order_keys(ids, qid, i)
+    order = np.lexsort((ids, h))[: min(len(topdocs), k)]
+    return [topdocs[j] for j in order]
 
 
 def rsd(topdocs: list[tuple[int, float]], k: int, terms: list[str],
@@ -102,8 +127,8 @@ def rsd(topdocs: list[tuple[int, float]], k: int, terms: list[str],
     full_ids = [d for d, _ in topdocs]
     total = 0.0
     for i in range(NUM_SAMPLES):
-        rng = np.random.default_rng((SEED, crc32(str(qid).encode()), i))
-        sample = _sample_topdocs(rng, topdocs, min(RLM_NUM_TOP_DOCS, len(topdocs)))
+        sample = _sample_topdocs(topdocs, qid, i,
+                                 min(RLM_NUM_TOP_DOCS, len(topdocs)))
         est = base(np.array([s for _, s in sample]), k, terms, num_docs, df_lookup)
         sim = rbo(full_ids, [d for d, _ in sample], k=len(full_ids), p=0.9)
         total += sim * est
@@ -116,8 +141,8 @@ def uef(topdocs: list[tuple[int, float]], doc_vectors: dict[int, dict[str, int]]
     full_ids = [d for d, _ in topdocs]
     total_dist = 0.0
     for i in range(NUM_SAMPLES):
-        rng = np.random.default_rng((SEED, crc32(str(qid).encode()), 7919 + i))
-        sample = _sample_topdocs(rng, topdocs, min(RLM_NUM_TOP_DOCS, len(topdocs)))
+        sample = _sample_topdocs(topdocs, qid, 7919 + i,
+                                 min(RLM_NUM_TOP_DOCS, len(topdocs)))
         stats = TopDocsTermStats(sample, doc_vectors, len(sample))
         if not stats.docvecs or stats.sum_sim == 0:
             continue
