@@ -59,11 +59,13 @@ def _ensure_index(sf_dir: str) -> str:
     from lucene_msmarco_ray.config import EngineConfig
     from lucene_msmarco_ray.index.build import build_index
 
+    from lucene_msmarco_ray.index.build import file_lineage
     out = _index_dir_for(sf_dir)
     cfg = EngineConfig(analyzer="simple", num_shards=8)
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
-    build_index(ds, out, cfg, text_col="text", id_col="doc_id")
+    src = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(src, columns=["doc_id", "text"])
+    build_index(ds, out, cfg, text_col="text", id_col="doc_id",
+                input_lineage=file_lineage([src]))
     _INDEX_CACHE[sf_dir] = out
     return out
 
@@ -734,11 +736,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def term_stats(sf_dir: str):
         # read back from the engine's own segment files — exercises the full
-        # build path (tokenize → shuffle → encode → parquet)
+        # build path (tokenize → shuffle → encode → parquet). A term's salt
+        # runs are separate rows (read-time concat design), so aggregate.
         idx = _ensure_index(sf_dir)
         t = pads.dataset(os.path.join(idx, "segments")).to_table(
-            columns=["term", "df", "cf"])
-        return t.sort_by("term")
+            columns=["term", "df", "cf"]) \
+            .group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+        return t.rename_columns(["term", "df", "cf"]).sort_by("term")
 
     def doc_stats(sf_dir: str):
         idx = _ensure_index(sf_dir)
@@ -1084,18 +1088,12 @@ SELECT doc_id,
   m::BIGINT AS lang_score
 FROM m""",
 
-        "fingerprint": """WITH t AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-  FROM documents),
-gl AS (
-  SELECT doc_id,
-         CASE WHEN len(toks) >= 3
-              THEN list_transform(generate_series(1, len(toks) - 2),
-                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-              ELSE [array_to_string(toks, ' ')] END AS grams
-  FROM t),
-g AS (SELECT doc_id, unnest(grams) AS gram FROM gl)
-SELECT doc_id, min(md5(gram)) AS fp FROM g GROUP BY doc_id""",
+        "fingerprint": f"""WITH {_GRAM_CTE},
+gh AS (SELECT doc_id, {_roll_sql('gram', 131)} AS h FROM g)
+SELECT d.doc_id, mn.fp
+FROM documents d
+LEFT JOIN (SELECT doc_id, min(h) AS fp FROM gh GROUP BY 1) mn
+  ON mn.doc_id = d.doc_id""",
 
         "ngram_jaccard": """WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -80,10 +80,11 @@ def run_bench() -> dict:
     # size or the scaling comparison measures different work
     cfg = EngineConfig(analyzer="english", num_shards=32)
 
+    from lucene_msmarco_ray.index.build import file_lineage
     t0 = time.time()
     stats = build_index(read_code_corpus(files, columns=["content"]),
                         idx_dir, cfg, text_col="content", id_col="doc_id",
-                        key_col="doc_key")
+                        key_col="doc_key", input_lineage=file_lineage(files))
     timings["corpus_build"] = round(time.time() - t0, 3)
 
     qtbl = generate_queries(BENCH_QUERIES, seed=7)

@@ -39,7 +39,12 @@ import ray.data as rd
 
 from ..config import EngineConfig
 from ..stages.tokenize import TokenizeStage
-from .codec import TermPostings, concat_runs, encode_term_postings
+from .codec import (
+    TermPostings,
+    concat_runs,
+    encode_group_postings,
+    encode_term_postings,
+)
 from .manifest import Manifest, combine_hashes
 
 SEGMENT_SCHEMA = pa.schema([
@@ -105,10 +110,49 @@ def term_postings_from_row(row: dict) -> TermPostings:
     )
 
 
+def _large_binary_slices(data: bytes, offsets: np.ndarray) -> pa.Array:
+    """Zero-copy large_binary array: per-row slices of ONE byte buffer."""
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(offsets) - 1,
+        [None, pa.py_buffer(np.ascontiguousarray(offsets, np.int64)),
+         pa.py_buffer(data)])
+
+
+def _list_from_flat(values: np.ndarray, counts: np.ndarray,
+                    dtype: pa.DataType) -> pa.ListArray:
+    offsets = np.zeros(counts.size + 1, np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                    pa.array(values, type=dtype))
+
+
+def group_segment_table(terms: np.ndarray, shard: int, enc: dict) -> pa.Table:
+    """Segment rows for one encoded group (see codec.encode_group_postings)
+    — all columns built from flat arrays, no per-term Python."""
+    bpt = enc["blocks_per_term"]
+    return pa.Table.from_arrays([
+        pa.array(terms, type=pa.string()),
+        pa.array(np.full(enc["n_terms"], shard, np.int32)),
+        pa.array(enc["df"]),
+        pa.array(enc["cf"]),
+        _large_binary_slices(enc["doc_bytes"], enc["doc_byte_offsets"]),
+        _large_binary_slices(enc["tf_bytes"], enc["tf_byte_offsets"]),
+        _list_from_flat(enc["b_count"], bpt, pa.int32()),
+        _list_from_flat(enc["b_first"], bpt, pa.int64()),
+        _list_from_flat(enc["b_last"], bpt, pa.int64()),
+        _list_from_flat(enc["b_max_tf"], bpt, pa.int32()),
+        _list_from_flat(enc["b_min_dl"], bpt, pa.int32()),
+        _list_from_flat(enc["b_doc_off"], bpt, pa.int64()),
+        _list_from_flat(enc["b_tf_off"], bpt, pa.int64()),
+    ], schema=SEGMENT_SCHEMA)
+
+
 class _EncodeGkeyTask:
     """One (shard, salt) group — all postings files of one gkey directory —
     → encoded term-run rows. The 'shuffle' already happened in the staged
-    partitioned write; this task just reads its group's files."""
+    partitioned write; this task just reads its group's files. The encode
+    itself is ONE vectorized pass over the whole group (no per-term loop —
+    round-1's merge hot spot, 14.2s of a 28.6s 2M-doc build)."""
 
     def __init__(self, block_size: int):
         self.block_size = block_size
@@ -122,45 +166,21 @@ class _EncodeGkeyTask:
             tbl = pa.concat_tables([
                 pq.read_table(f, columns=["term", "doc_id", "tf", "dl"])
                 for f in row["files"]])
-            g = tbl.to_pandas()
-            if len(g) == 0:
+            if tbl.num_rows == 0:
                 continue
-            codes, uniq = pd.factorize(g["term"])
-            doc = g["doc_id"].to_numpy()
-            tf = g["tf"].to_numpy()
-            dl = g["dl"].to_numpy()
+            codes, uniq = pd.factorize(tbl["term"].to_pandas())
+            doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+            tf = tbl["tf"].to_numpy(zero_copy_only=False)
+            dl = tbl["dl"].to_numpy(zero_copy_only=False)
             order = np.lexsort((doc, codes))
             codes, doc, tf, dl = codes[order], doc[order], tf[order], dl[order]
-            bounds = np.concatenate((
-                [0], np.flatnonzero(codes[1:] != codes[:-1]) + 1, [len(codes)]))
-            terms, tps = [], []
-            for i in range(len(bounds) - 1):
-                s, e = bounds[i], bounds[i + 1]
-                terms.append(uniq[codes[s]])
-                tps.append(encode_term_postings(doc[s:e], tf[s:e], dl[s:e],
-                                                self.block_size))
-            out.append(rows_to_segment_table(
-                terms, np.full(len(terms), shard), tps))
+            enc = encode_group_postings(codes, doc, tf, dl, self.block_size)
+            terms = uniq.to_numpy()[codes[enc["term_starts"]]] \
+                if hasattr(uniq, "to_numpy") else np.asarray(uniq)[codes[enc["term_starts"]]]
+            out.append(group_segment_table(terms, shard, enc))
         if not out:
             return rows_to_segment_table([], np.empty(0), [])
         return pa.concat_tables(out)
-
-
-class _MergeShardRuns:
-    """All term runs of one shard → one row per term (concat salt runs)."""
-
-    __name__ = "merge_shard_runs"
-
-    def __call__(self, g: pd.DataFrame) -> pa.Table:
-        codes, uniq = pd.factorize(g["term"])
-        terms, tps = [], []
-        for code in range(len(uniq)):
-            rows = g.iloc[np.flatnonzero(codes == code)]
-            runs = [term_postings_from_row(r) for r in rows.to_dict("records")]
-            terms.append(uniq[code])
-            tps.append(concat_runs(runs))
-        shard = int(g["shard"].iloc[0]) if len(g) else 0
-        return rows_to_segment_table(terms, np.full(len(terms), shard), tps)
 
 
 def pads_dirs(dirs: list[str]) -> pads.Dataset:
@@ -207,6 +227,18 @@ def fwd_bucket_dirs(index_dir: str) -> dict[int, list[str]]:
     return out
 
 
+def file_lineage(paths: list[str]) -> str:
+    """Cheap input-lineage digest for resume invalidation: (path, size,
+    mtime_ns) per file — no content read. Callers pass this alongside a
+    partition so a changed input re-tokenizes instead of resuming stale."""
+    import hashlib
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
+
+
 def _staged_dirs(out_dir: str, kind: str) -> list[str]:
     base = os.path.join(out_dir, "staged")
     if not os.path.isdir(base):
@@ -226,8 +258,9 @@ def build_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     key_col: str | None = None,
-    partitions: list[tuple[str, "rd.Dataset"]] | None = None,
+    partitions: list[tuple] | None = None,
     resume: bool = True,
+    input_lineage: str | None = None,
 ) -> dict:
     """Build an inverted index under ``out_dir``.
 
@@ -257,13 +290,18 @@ def build_index(
     man.set_params(params)
 
     if partitions is None:
-        partitions = [("all", source)]
+        partitions = [("all", source, input_lineage)]
+    # accept (pid, ds) or (pid, ds, input_sha); see file_lineage()
+    partitions = [(p[0], p[1], p[2] if len(p) > 2 else None)
+                  for p in partitions]
 
     # ---- stage A: tokenize per partition (resumable) ----
     staged_base = os.path.join(out_dir, "staged")
-    for pid, ds in partitions:
-        if man.partition_done(pid):
+    any_rebuilt = False
+    for pid, ds, in_sha in partitions:
+        if man.partition_done(pid, in_sha):
             continue
+        any_rebuilt = True
         part_dir = os.path.join(staged_base, f"part={pid}")
         tmp_dir = part_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -297,8 +335,12 @@ def build_index(
         import hashlib as _hashlib
         sha = _hashlib.sha256(acc.tobytes()).hexdigest()
         nrows = sum(pq.read_metadata(f).num_rows for f in meta_files)
-        man.mark_partition(pid, sha, nrows, [])
+        man.mark_partition(pid, sha, nrows, [], input_sha=in_sha)
         man.save()
+
+    if any_rebuilt:
+        # changed/new inputs invalidate the downstream merge checkpoint
+        man.data["merge"] = {"status": "pending"}
 
     stage_secs["tokenize"] = round(_time.monotonic() - _t0, 3)
     _t0 = _time.monotonic()
@@ -338,16 +380,42 @@ def build_index(
         runs = rd.from_items(plan, override_num_blocks=max(1, len(plan))) \
             .map_batches(_EncodeGkeyTask(cfg.block_size), batch_size=1,
                          batch_format="pandas")
-        if n_salt > 1:
-            runs = runs.groupby("shard", num_partitions=cfg.num_shards) \
-                .map_groups(_MergeShardRuns(), batch_format="pandas")
+        # NO second exchange for salted terms: a term's salt runs stay as
+        # separate segment ROWS within its shard dir and the reader concats
+        # them at load time (codec.concat_runs — pure metadata/bytes concat,
+        # zero decode). Round-1 shipped an eager groupby(shard) merge here;
+        # it shuffled every encoded posting byte through a sort operator for
+        # no read-time benefit (measured 6.5s of the 2M-doc build).
         runs.write_parquet(seg_tmp, partition_cols=["shard"])
         os.replace(seg_tmp, seg_dir)
-        # cheap metrics from parquet footers only
-        n_terms = sum(
-            pq.read_metadata(os.path.join(root, f)).num_rows
-            for root, _, fs in os.walk(seg_dir) for f in fs
-            if f.endswith(".parquet"))
+        if n_salt > 1:
+            # distinct terms, counted per shard in parallel (terms never
+            # cross shards). Scale note: one task's memory is its shard's
+            # vocab slice; at extreme vocab sizes swap in a sketch.
+            shard_dirs = sorted(
+                os.path.join(seg_dir, e) for e in os.listdir(seg_dir)
+                if e.startswith("shard="))
+
+            def _distinct_terms(b: pd.DataFrame) -> pd.DataFrame:
+                import pyarrow.compute as _pc
+                n = sum(
+                    _pc.count_distinct(
+                        pads.dataset(d).to_table(columns=["term"])["term"]
+                    ).as_py() for d in b["dir"])
+                return pd.DataFrame({"n": [n]})
+
+            parts = rd.from_items(
+                [{"dir": d} for d in shard_dirs],
+                override_num_blocks=max(1, len(shard_dirs))) \
+                .map_batches(_distinct_terms, batch_format="pandas",
+                             batch_size=1).to_pandas()
+            n_terms = int(parts["n"].sum())
+        else:
+            # single run per term ⇒ row count == vocab (footers only)
+            n_terms = sum(
+                pq.read_metadata(os.path.join(root, f)).num_rows
+                for root, _, fs in os.walk(seg_dir) for f in fs
+                if f.endswith(".parquet"))
         man.mark_merge(cfg.num_shards, {"num_terms": int(n_terms)})
         stats["num_terms"] = int(n_terms)
     else:

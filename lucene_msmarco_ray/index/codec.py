@@ -144,6 +144,96 @@ def encode_term_postings(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndar
     )
 
 
+def encode_group_postings(codes: np.ndarray, doc: np.ndarray, tf: np.ndarray,
+                          dl: np.ndarray, block_size: int = 128) -> dict:
+    """Vectorized encode of MANY terms' postings in one pass.
+
+    Inputs are the whole (shard, salt) group sorted by (term code, doc id)
+    — ``codes`` is the dense factorized term id, contiguous runs. Produces
+    byte-identical output to calling :func:`encode_term_postings` per term
+    (tested), but with no Python loop over terms: block structure, deltas,
+    varbyte streams and all offsets are computed over the flat arrays, and
+    the per-term binary columns are ZERO-COPY slices (offset arrays) into
+    the two group-level byte streams.
+
+    Returns a dict of flat numpy arrays + the two byte streams, consumed by
+    :func:`group_segment_table`.
+    """
+    n = codes.size
+    if n == 0:
+        raise ValueError("empty group")
+    doc = np.asarray(doc, np.int64)
+    tf = np.asarray(tf, np.int64)
+    dl = np.asarray(dl, np.int64)
+    same = codes[1:] == codes[:-1]
+    if same.size and not (doc[1:][same] > doc[:-1][same]).all():
+        raise ValueError("duplicate doc id in postings for one term")
+
+    term_starts = np.flatnonzero(np.concatenate(([True], ~same)))
+    term_sizes = np.diff(np.concatenate((term_starts, [n])))
+    n_terms = term_starts.size
+
+    # block starts: every block_size-th posting WITHIN a term
+    pos_in_term = np.arange(n, dtype=np.int64) \
+        - np.repeat(term_starts, term_sizes)
+    is_start = (pos_in_term % block_size) == 0
+    starts = np.flatnonzero(is_start)
+    counts = np.diff(np.concatenate((starts, [n])))
+    blocks_per_term = np.add.reduceat(is_start.astype(np.int64), term_starts)
+
+    firsts = doc[starts]
+    lasts = doc[starts + counts - 1]
+    max_tf = np.maximum.reduceat(tf, starts).astype(np.int32)
+    min_dl = np.minimum.reduceat(dl, starts).astype(np.int32)
+
+    # delta stream: doc gaps everywhere except block starts
+    deltas_all = np.empty(n, np.int64)
+    deltas_all[0] = 0
+    np.subtract(doc[1:], doc[:-1], out=deltas_all[1:])
+    keep = ~is_start
+    deltas = deltas_all[keep]
+
+    doc_bytes = varbyte_encode(deltas)
+    tf_bytes = varbyte_encode(tf)
+    d_lens = _varbyte_lengths(deltas)
+    t_lens = _varbyte_lengths(tf)
+    d_cum = np.concatenate(([0], np.cumsum(d_lens)))
+    t_cum = np.concatenate(([0], np.cumsum(t_lens)))
+
+    # global delta index of each block's first delta; byte offsets from it
+    dcounts = counts - 1
+    d_start_idx = np.concatenate(([0], np.cumsum(dcounts)[:-1]))
+    blk_doc_off = d_cum[d_start_idx]
+    blk_tf_off = t_cum[starts]
+
+    # per-term byte ranges (for the zero-copy binary slices) and
+    # term-relative block offsets
+    term_first_blk = np.concatenate(([0], np.cumsum(blocks_per_term)[:-1]))
+    term_doc_byte0 = blk_doc_off[term_first_blk]
+    term_tf_byte0 = blk_tf_off[term_first_blk]
+    rel_doc_off = blk_doc_off - np.repeat(term_doc_byte0, blocks_per_term)
+    rel_tf_off = blk_tf_off - np.repeat(term_tf_byte0, blocks_per_term)
+
+    return {
+        "term_starts": term_starts, "term_sizes": term_sizes,
+        "n_terms": n_terms,
+        "df": term_sizes.astype(np.int64),
+        "cf": np.add.reduceat(tf, term_starts).astype(np.int64),
+        "doc_bytes": doc_bytes, "tf_bytes": tf_bytes,
+        "doc_byte_offsets": np.concatenate((term_doc_byte0,
+                                            [d_cum[-1]])).astype(np.int64),
+        "tf_byte_offsets": np.concatenate((term_tf_byte0,
+                                           [t_cum[-1]])).astype(np.int64),
+        "blocks_per_term": blocks_per_term.astype(np.int64),
+        "b_count": counts.astype(np.int32),
+        "b_first": firsts.astype(np.int64),
+        "b_last": lasts.astype(np.int64),
+        "b_max_tf": max_tf, "b_min_dl": min_dl,
+        "b_doc_off": rel_doc_off.astype(np.int64),
+        "b_tf_off": rel_tf_off.astype(np.int64),
+    }
+
+
 def _varbyte_lengths(values: np.ndarray) -> np.ndarray:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:

@@ -62,16 +62,20 @@ class Manifest:
             self.data["params"] = params
 
     # --- tokenize partitions ---
-    def partition_done(self, pid: str, lineage_sha: str | None = None) -> bool:
+    def partition_done(self, pid: str, input_sha: str | None = None) -> bool:
+        """Done AND (when given) built from the same input lineage — a
+        partition whose input changed re-runs instead of silently serving
+        stale output (round-1 review: resume skipped on status alone)."""
         p = self.data["partitions"].get(pid)
         if p is None or p.get("status") != "done":
             return False
-        return lineage_sha is None or p.get("sha") == lineage_sha
+        return input_sha is None or p.get("input_sha") == input_sha
 
     def mark_partition(self, pid: str, sha: str, rows: int,
-                       files: list[str]) -> None:
+                       files: list[str], input_sha: str | None = None) -> None:
         self.data["partitions"][pid] = {
-            "status": "done", "sha": sha, "rows": rows, "files": files}
+            "status": "done", "sha": sha, "rows": rows, "files": files,
+            "input_sha": input_sha}
 
     # --- merge stage ---
     @property

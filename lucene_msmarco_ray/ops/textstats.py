@@ -1,16 +1,22 @@
 """Text-analysis operators for training-data pipelines: token counting,
 quality scoring, language-ID heuristic, document fingerprinting.
 
-All are stateless vectorizable ``map_batches`` transforms emitting flat Arrow
-columns; floats are rounded to 6 dp so results hash-match the SQL oracles.
+All are stateless ``map_batches`` transforms emitting flat Arrow columns;
+floats are rounded to 6 dp so results hash-match the SQL oracles.
+
+Round-2 rewrite: the per-document Python loops are gone — tokenization is
+``pc.utf8_split_whitespace`` (empties filtered vectorized; equals Python's
+``str.split``), per-doc reductions are ``np.add.reduceat`` over the flat
+token array, uniqueness is factorize+lexsort segment counting, and the
+fingerprint reuses the dedup family's SQL-reproducible polynomial gram hash
+(min over 3-gram hashes) instead of per-gram md5 calls.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # small public marker-word sets (top function words per language)
 LANG_MARKERS: dict[str, frozenset[str]] = {
@@ -23,18 +29,53 @@ LANG_MARKERS: dict[str, frozenset[str]] = {
 STOP_SMALL = frozenset("a an the and of to is in that it".split())
 
 
+def _flat_tokens(col) -> tuple[pa.Array, np.ndarray]:
+    """Whitespace tokens of a string column → (flat token array, per-doc
+    counts), matching Python ``str.split`` (no empty tokens). Vectorized:
+    one Arrow split + one boolean filter."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lst = pc.utf8_split_whitespace(col)
+    raw_counts = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lst)
+    nonempty = pc.not_equal(flat, "")
+    ne = nonempty.to_numpy(zero_copy_only=False)
+    # arrow split never yields an empty LIST (an empty doc gives [""]), so
+    # every reduceat segment is non-degenerate
+    starts = np.zeros(raw_counts.size, np.int64)
+    np.cumsum(raw_counts[:-1], out=starts[1:])
+    counts = np.add.reduceat(ne.astype(np.int64), starts) \
+        if raw_counts.size else np.empty(0, np.int64)
+    return flat.filter(nonempty), counts
+
+
+def _doc_segments(counts: np.ndarray) -> np.ndarray:
+    """reduceat start offsets for docs with >= 1 token (callers mask)."""
+    nz = np.flatnonzero(counts)
+    offs = np.zeros(nz.size, np.int64)
+    np.cumsum(counts[nz][:-1], out=offs[1:])
+    return nz, offs
+
+
 def token_count(ds, text_col: str = "text", id_col: str = "doc_id"):
     """→ (doc_id, n_tokens, n_unique)."""
 
     def f(batch: pa.Table) -> pa.Table:
-        nt, nu = [], []
-        for text in batch[text_col].to_pylist():
-            toks = text.split()
-            nt.append(len(toks))
-            nu.append(len(set(toks)))
+        flat, counts = _flat_tokens(batch[text_col])
+        n_docs = counts.size
+        nuniq = np.zeros(n_docs, np.int64)
+        nz, offs = _doc_segments(counts)
+        if nz.size:
+            import pandas as pd
+            codes, _ = pd.factorize(flat.to_pandas())
+            doc_idx = np.repeat(nz, counts[nz])
+            order = np.lexsort((codes, doc_idx))
+            c, d = codes[order], doc_idx[order]
+            new = np.concatenate(([True], (d[1:] != d[:-1]) | (c[1:] != c[:-1])))
+            nuniq[nz] = np.add.reduceat(new.astype(np.int64), offs)
         return pa.table({"doc_id": batch[id_col].cast(pa.int64()),
-                         "n_tokens": pa.array(nt, pa.int64()),
-                         "n_unique": pa.array(nu, pa.int64())})
+                         "n_tokens": pa.array(counts),
+                         "n_unique": pa.array(nuniq)})
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -42,26 +83,34 @@ def token_count(ds, text_col: str = "text", id_col: str = "doc_id"):
 def quality_score(ds, text_col: str = "text", id_col: str = "doc_id"):
     """→ (doc_id, n_tokens, stop_ratio, mean_token_len, uniq_ratio) — simple
     heuristic quality features (length / stopword density / repetition)."""
+    stop_set = pa.array(sorted(STOP_SMALL))
 
     def f(batch: pa.Table) -> pa.Table:
-        nt, sr, mtl, ur = [], [], [], []
-        for text in batch[text_col].to_pylist():
-            toks = text.split()
-            n = len(toks)
-            nt.append(n)
-            if n == 0:
-                sr.append(0.0)
-                mtl.append(0.0)
-                ur.append(0.0)
-                continue
-            sr.append(round(sum(t in STOP_SMALL for t in toks) / n, 6))
-            mtl.append(round(sum(len(t) for t in toks) / n, 6))
-            ur.append(round(len(set(toks)) / n, 6))
+        import pandas as pd
+        flat, counts = _flat_tokens(batch[text_col])
+        n_docs = counts.size
+        sr = np.zeros(n_docs, np.float64)
+        mtl = np.zeros(n_docs, np.float64)
+        ur = np.zeros(n_docs, np.float64)
+        nz, offs = _doc_segments(counts)
+        if nz.size:
+            nzc = counts[nz].astype(np.float64)
+            is_stop = pc.is_in(flat, value_set=stop_set) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            sr[nz] = np.round(np.add.reduceat(is_stop, offs) / nzc, 6)
+            tlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+            mtl[nz] = np.round(np.add.reduceat(tlen, offs) / nzc, 6)
+            codes, _ = pd.factorize(flat.to_pandas())
+            doc_idx = np.repeat(nz, counts[nz])
+            order = np.lexsort((codes, doc_idx))
+            c, d = codes[order], doc_idx[order]
+            new = np.concatenate(([True], (d[1:] != d[:-1]) | (c[1:] != c[:-1])))
+            ur[nz] = np.round(np.add.reduceat(new.astype(np.int64), offs) / nzc, 6)
         return pa.table({"doc_id": batch[id_col].cast(pa.int64()),
-                         "n_tokens": pa.array(nt, pa.int64()),
-                         "stop_ratio": pa.array(sr, pa.float64()),
-                         "mean_token_len": pa.array(mtl, pa.float64()),
-                         "uniq_ratio": pa.array(ur, pa.float64())})
+                         "n_tokens": pa.array(counts),
+                         "stop_ratio": pa.array(sr),
+                         "mean_token_len": pa.array(mtl),
+                         "uniq_ratio": pa.array(ur)})
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -70,39 +119,49 @@ def lang_id(ds, text_col: str = "text", id_col: str = "doc_id"):
     """→ (doc_id, lang_pred, lang_score) — marker-word voting; ties broken
     alphabetically; 'und' when no marker hits."""
     langs = sorted(LANG_MARKERS)
+    marker_sets = {lang: pa.array(sorted(LANG_MARKERS[lang])) for lang in langs}
 
     def f(batch: pa.Table) -> pa.Table:
-        preds, scores = [], []
-        for text in batch[text_col].to_pylist():
-            toks = text.split()
-            best_lang, best = "und", 0
-            for lang in langs:  # alphabetical → deterministic tie-break
-                s = sum(t in LANG_MARKERS[lang] for t in toks)
-                if s > best:
-                    best, best_lang = s, lang
-            preds.append(best_lang)
-            scores.append(best)
+        flat, counts = _flat_tokens(batch[text_col])
+        n_docs = counts.size
+        scores = np.zeros((len(langs), n_docs), np.int64)
+        nz, offs = _doc_segments(counts)
+        if nz.size:
+            for li, lang in enumerate(langs):
+                hit = pc.is_in(flat, value_set=marker_sets[lang]) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                scores[li, nz] = np.add.reduceat(hit, offs)
+        best_i = np.argmax(scores, axis=0)      # first max → alphabetical tie
+        best = scores[best_i, np.arange(n_docs)]
+        preds = np.where(best > 0, np.array(langs, dtype=object)[best_i], "und")
         return pa.table({"doc_id": batch[id_col].cast(pa.int64()),
                          "lang_pred": pa.array(preds, pa.string()),
-                         "lang_score": pa.array(scores, pa.int64())})
+                         "lang_score": pa.array(best)})
 
     return ds.map_batches(f, batch_format="pyarrow")
 
 
 def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
-    """→ (doc_id, fp) — document fingerprint = lexicographic min of the md5
-    hex digests of the word n-grams (a 1-gram winnowing variant; expressible
-    in SQL as min(md5(gram)) for the oracle)."""
+    """→ (doc_id, fp) — document fingerprint = min of the polynomial rolling
+    hashes of the word n-grams (1-band winnowing variant; the dedup family's
+    SQL-reproducible hash, so the oracle is min over list_reduce gram
+    hashes). Docs with no tokens get a NULL fp."""
+    from .dedup import HASH_BASE, _gram_hashes, _poly_hashes
 
     def f(batch: pa.Table) -> pa.Table:
-        fps = []
-        for text in batch[text_col].to_pylist():
-            toks = text.split()
-            grams = ([" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
-                     if len(toks) >= n else ([" ".join(toks)] if toks else []))
-            fps.append(min((hashlib.md5(g.encode()).hexdigest() for g in grams),
-                           default=""))
+        flat, counts = _flat_tokens(batch[text_col])
+        tok_h, tok_len = _poly_hashes(flat.to_pylist(), HASH_BASE)
+        grams, per_doc = _gram_hashes(tok_h, tok_len, counts, n)
+        fp = np.zeros(counts.size, np.int64)
+        nzg = np.flatnonzero(per_doc)
+        if nzg.size:
+            offs = np.zeros(nzg.size, np.int64)
+            np.cumsum(per_doc[nzg][:-1], out=offs[1:])
+            fp[nzg] = np.minimum.reduceat(grams, offs).astype(np.int64)
+        mask = per_doc > 0
         return pa.table({"doc_id": batch[id_col].cast(pa.int64()),
-                         "fp": pa.array(fps, pa.string())})
+                         "fp": pa.array(np.where(mask, fp, 0),
+                                        pa.int64(),
+                                        mask=~mask)})
 
     return ds.map_batches(f, batch_format="pyarrow")

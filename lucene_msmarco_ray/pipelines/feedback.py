@@ -319,10 +319,11 @@ def lm_doc_weights(index_dir: str, concurrency=(1, 8)):
     import pyarrow.dataset as pads
     import ray.data as rd
 
+    # sum df across salt runs (a term may span several segment rows)
     seg = pads.dataset(os.path.join(index_dir, "segments")).to_table(
-        columns=["term", "df"])
+        columns=["term", "df"]).group_by("term").aggregate([("df", "sum")])
     df_ref = ray.put(dict(zip(seg["term"].to_pylist(),
-                              seg["df"].to_pylist())))
+                              seg["df_sum"].to_pylist())))
     with open(os.path.join(index_dir, "stats.json")) as f:
         num_docs = json.load(f)["num_docs"]
 

@@ -92,9 +92,53 @@ class IndexReader:
         return os.path.join(self.index_dir, "segments", f"shard={shard}")
 
     def _rows_to_cache(self, tbl: pa.Table) -> None:
+        """Columnar: flat numpy views over the Arrow buffers — one slice per
+        row instead of per-row to_pylist dicts (the dict path measured 2x
+        the whole preload cost on a salted 2M-doc index)."""
+        if tbl.num_rows == 0:
+            return
+        tbl = tbl.combine_chunks()
+        terms = tbl["term"].to_pylist()
+        dfs = tbl["df"].to_numpy()
+        cfs = tbl["cf"].to_numpy()
+
+        def _bin_views(name: str):
+            arr = tbl[name].chunk(0)
+            off = arr.buffers()[1]
+            offsets = np.frombuffer(off, dtype=np.int64,
+                                    count=len(arr) + 1,
+                                    offset=arr.offset * 8)
+            data = memoryview(arr.buffers()[2])
+            return offsets, data
+
+        d_off, d_data = _bin_views("doc_bytes")
+        t_off, t_data = _bin_views("tf_bytes")
+
+        def _list_views(name: str, dtype):
+            arr = tbl[name].chunk(0)
+            offsets = arr.offsets.to_numpy()
+            values = arr.values.to_numpy(zero_copy_only=False).astype(
+                dtype, copy=False)
+            return offsets, values
+
+        lists = {n: _list_views(n, t) for n, t in (
+            ("b_count", np.int32), ("b_first", np.int64),
+            ("b_last", np.int64), ("b_max_tf", np.int32),
+            ("b_min_dl", np.int32), ("b_doc_off", np.int64),
+            ("b_tf_off", np.int64))}
+
+        def _row_tp(i: int) -> TermPostings:
+            kw = {}
+            for n, (offs, vals) in lists.items():
+                kw[n] = vals[offs[i]:offs[i + 1]]
+            return TermPostings(
+                df=int(dfs[i]), cf=int(cfs[i]),
+                doc_bytes=d_data[d_off[i]:d_off[i + 1]],
+                tf_bytes=t_data[t_off[i]:t_off[i + 1]], **kw)
+
         by_term: dict[str, list[TermPostings]] = {}
-        for row in tbl.to_pylist():
-            by_term.setdefault(row["term"], []).append(term_postings_from_row(row))
+        for i, term in enumerate(terms):
+            by_term.setdefault(term, []).append(_row_tp(i))
         for term, runs in by_term.items():
             self._cache[term] = concat_runs(runs)
 

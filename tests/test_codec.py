@@ -76,3 +76,42 @@ def test_concat_salted_runs_no_decode():
         decode_block(merged, i)
     with pytest.raises(ValueError):
         concat_runs([r1, r1])
+
+
+def test_group_encoder_matches_per_term():
+    """encode_group_postings must be byte-identical to per-term encoding."""
+    import numpy as np
+
+    from lucene_msmarco_ray.index.build import (
+        group_segment_table,
+        rows_to_segment_table,
+    )
+    from lucene_msmarco_ray.index.codec import (
+        encode_group_postings,
+        encode_term_postings,
+    )
+    rng = np.random.default_rng(11)
+    codes_l, doc_l, tf_l, dl_l = [], [], [], []
+    for t in range(60):
+        nd = int(rng.integers(1, 300))
+        docs = np.sort(rng.choice(50000, nd, replace=False))
+        codes_l.append(np.full(nd, t))
+        doc_l.append(docs)
+        tf_l.append(rng.integers(1, 9, nd))
+        dl_l.append(rng.integers(5, 200, nd))
+    codes = np.concatenate(codes_l)
+    doc = np.concatenate(doc_l)
+    tf = np.concatenate(tf_l)
+    dl = np.concatenate(dl_l)
+    enc = encode_group_postings(codes, doc, tf, dl, 16)
+    terms = np.array([f"t{c}" for c in codes[enc["term_starts"]]])
+    gt = group_segment_table(terms, 1, enc)
+    bounds = np.concatenate(([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1,
+                             [len(codes)]))
+    tps = [encode_term_postings(doc[s:e], tf[s:e], dl[s:e], 16)
+           for s, e in zip(bounds[:-1], bounds[1:])]
+    rt = rows_to_segment_table([f"t{codes[s]}" for s in bounds[:-1]],
+                               np.full(len(tps), 1), tps)
+    assert gt.schema.equals(rt.schema)
+    for col in gt.column_names:
+        assert gt[col].combine_chunks().equals(rt[col].combine_chunks()), col

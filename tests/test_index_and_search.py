@@ -152,3 +152,30 @@ def test_resume_skips_work(built_index):
     stats2 = build_index(ds, idx_dir, CFG, text_col="text", id_col="doc_id")
     assert os.path.getmtime(os.path.join(idx_dir, "segments")) == seg_mtime
     assert stats2["num_docs"] > 0
+
+
+def test_resume_invalidates_on_changed_input(ray_session, tmp_path):
+    """A partition whose input lineage changed must re-tokenize and re-merge
+    (round-1 review: resume skipped on status alone → stale index)."""
+    import shutil
+
+    import ray.data as rd
+
+    from lucene_msmarco_ray.index.build import file_lineage
+    src = str(tmp_path / "docs.parquet")
+    shutil.copy(f"{SF_DIR}/documents.parquet", src)
+    out = str(tmp_path / "idx")
+
+    def build():
+        ds = rd.read_parquet(src, columns=["doc_id", "text"])
+        return build_index(ds, out, CFG, text_col="text", id_col="doc_id",
+                           input_lineage=file_lineage([src]))
+
+    build()
+    seg = os.path.join(out, "segments")
+    mtime1 = os.path.getmtime(seg)
+    build()                                     # unchanged input → resume
+    assert os.path.getmtime(seg) == mtime1
+    os.utime(src, ns=(1, 1))                    # simulate changed input
+    build()
+    assert os.path.getmtime(seg) != mtime1      # re-tokenized AND re-merged
