@@ -325,7 +325,7 @@ class SearchStage:
     """
 
     def __init__(self, index_dir: str, scorer: str = "bm25", k: int = 1000,
-                 preload: bool = False, algo: str = "taat", **scorer_kw):
+                 preload: bool = False, algo: str = "auto", **scorer_kw):
         self.reader = IndexReader(index_dir, preload=preload)
         st = self.reader.stats
         self.analyzer = get_analyzer(
@@ -335,8 +335,20 @@ class SearchStage:
         self.k = k
         self.algo = algo
 
+    # auto-selector threshold: below this many total matched postings the
+    # heap-based WAND loop is cheap and block skipping can win on selective
+    # queries; above it, vectorized TAAT dominates (measured on the 200k
+    # synthetic corpus: TAAT 1-3 ms/q vs WAND ~500 ms/q at every k — the
+    # per-doc Python pivot loop cannot compete with numpy accumulation when
+    # query terms match a large fraction of the corpus)
+    WAND_AUTO_MAX_POSTINGS = 20_000
+
     def _score(self, qterms: dict[str, float]):
-        if self.algo == "wand" and type(self.scorer).__name__ == "BM25Scorer":
+        algo = self.algo
+        if algo == "auto" and type(self.scorer).__name__ == "BM25Scorer":
+            total = sum(self.reader.df(t) for t in qterms)
+            algo = "wand" if total <= self.WAND_AUTO_MAX_POSTINGS else "taat"
+        if algo == "wand" and type(self.scorer).__name__ == "BM25Scorer":
             from .wand import score_query_wand
             return score_query_wand(self.reader, qterms, self.k, self.scorer)
         return score_query_taat(self.reader, qterms, self.k, self.scorer)
@@ -371,7 +383,7 @@ class SearchStage:
 
 def retrieve(queries_ds, index_dir: str, *, scorer: str = "bm25", k: int = 1000,
              concurrency: int | tuple[int, int] = (1, 8), batch_size: int = 64,
-             preload: bool = False, algo: str = "taat", **scorer_kw):
+             preload: bool = False, algo: str = "auto", **scorer_kw):
     """queries (qid, text) → run dataset (qid, doc_id, rank, score).
 
     ``concurrency`` sizes the searcher actor pool (callable class ⇒ actors;
