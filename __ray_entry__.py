@@ -967,6 +967,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rocchio_pipeline(run, idx, _gate_query_map(), rel_map,
                                 top_k=20, round_to=6, concurrency=2)
 
+    def bpe_roundtrip(sf_dir: str):
+        """T7: train BPE on the documents table (Ray word-count pipeline),
+        encode every doc in an actor-pool stage WITH word markers, decode,
+        and return the reconstruction — the SQL oracle checks it equals the
+        whitespace-normalized original text (an exactness property of the
+        subword segmentation that SQL can verify without running BPE)."""
+        import ray.data as rd
+
+        from lucene_msmarco_ray.analysis.bpe import (
+            BpeModel,
+            bpe_pretokenize,
+            learn_bpe,
+        )
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+        model = learn_bpe(docs, num_merges=50)
+        enc = bpe_pretokenize(docs, model, out_col="bpe_text",
+                              strip_marker=False)
+
+        def recon(batch):
+            import pyarrow as _pa
+            out = [BpeModel.decode(t.split())
+                   for t in batch["bpe_text"].to_pylist()]
+            return _pa.table({"doc_id": batch["doc_id"].cast(_pa.int64()),
+                              "recon": _pa.array(out, _pa.string())})
+
+        return enc.map_batches(recon, batch_format="pyarrow")
+
     def qpp_basic(sf_dir: str):
         from lucene_msmarco_ray.pipelines.feedback import qpp_estimates
         run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
@@ -1018,6 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join": bucket_join,
         "eval_metrics": eval_metrics,
         "rel_annotate": rel_annotate,
+        "bpe_roundtrip": bpe_roundtrip,
         "qpp_basic": qpp_basic,
         "qpp_sampling": qpp_sampling,
         "fdbk_rerank": fdbk_rerank,
@@ -1169,4 +1198,8 @@ FROM w1 JOIN nrm ON nrm.doc_id = w1.doc_id""",
         "srlm_rerank": _srlm_rerank_sql(0.7, 0.3),
         "rocchio_expand": _rocchio_sql(0.7, 0.3),
         "qpp_sampling": _qpp_sampling_sql(0.7, 0.3),
+        "bpe_roundtrip": """SELECT doc_id,
+  array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), ' ')
+    AS recon
+FROM documents""",
     }
