@@ -51,7 +51,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--k1", type=float, default=0.7)
     s.add_argument("--b", type=float, default=0.3)
     s.add_argument("--mu", type=float, default=1000.0)
-    s.add_argument("--algo", default="taat", choices=["taat", "wand"])
+    s.add_argument("--algo", default="auto", choices=["auto", "taat", "wand"])
     s.add_argument("--concurrency", type=int, default=0,
                    help="searcher actors; 0 = half the cluster CPUs")
     s.add_argument("--run-name", default="ray-bm25")
@@ -59,6 +59,14 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("evaluate")
     e.add_argument("--run", required=True)
     e.add_argument("--qrels", required=True)
+
+    ea = sub.add_parser("evalat", help="evalat50.sh equivalent: concat a "
+                        "directory of res files, truncate to --depth, "
+                        "report macro metrics")
+    ea.add_argument("--dir", required=True)
+    ea.add_argument("--qrels", required=True)
+    ea.add_argument("--depth", type=int, default=50)
+    ea.add_argument("--pattern", default="*.res")
 
     q = sub.add_parser("qpp")
     q.add_argument("--index", required=True)
@@ -111,6 +119,16 @@ def main(argv: list[str] | None = None) -> int:
         print(pq_df.drop(columns=["_rel_seen", "_total_rel"])
               .to_string(index=False))
         print(json.dumps({"macro": macro}))
+        ray.shutdown()
+
+    elif args.cmd == "evalat":
+        ray = _init_ray(args.num_cpus)
+        from .eval.metrics import evaluate_run_dir
+        _, macro = evaluate_run_dir(args.dir, args.qrels, depth=args.depth,
+                                    pattern=args.pattern)
+        # evalat50.sh greps map|ndcg from trec_eval; report the same family
+        print(json.dumps({"map": macro["ap"], "ndcg10": macro["ndcg10"],
+                          "macro": macro, "depth": args.depth}))
         ray.shutdown()
 
     elif args.cmd == "qpp":

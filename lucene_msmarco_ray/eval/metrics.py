@@ -138,3 +138,39 @@ def evaluate_run(run_ds, qrels_df: pd.DataFrame,
     per-query table + macro dict."""
     pq = per_query_metrics(run_ds, qrels_df, cutoffs).to_pandas()
     return pq, macro_averages(pq)
+
+
+def evaluate_run_dir(run_dir: str, qrels_path: str, depth: int = 50,
+                     pattern: str = "*.res",
+                     cutoffs: tuple[int, ...] = (10, 100)):
+    """evalat50.sh equivalent (reference:
+    ColBERT-PRF-VirtualAppendix/evalat50.sh): concatenate every res file in
+    ``run_dir`` matching ``pattern`` (also reads .res.gz transparently),
+    truncate each query's list to ``depth`` (trec_eval -M50), evaluate
+    against the qrels. Returns (per_query_df, macro dict)."""
+    import glob
+    import gzip
+    import os
+    import tempfile
+
+    import ray.data as rd
+
+    from ..sources.trec import read_qrels, read_run
+    files = sorted(glob.glob(os.path.join(run_dir, pattern))
+                   + glob.glob(os.path.join(run_dir, pattern + ".gz")))
+    if not files:
+        raise FileNotFoundError(f"no run files matching {pattern} in {run_dir}")
+    with tempfile.NamedTemporaryFile("w", suffix=".res", delete=False) as tmp:
+        for f in files:
+            opener = gzip.open if f.endswith(".gz") else open
+            with opener(f, "rt") as fh:
+                tmp.write(fh.read())
+        cat = tmp.name
+    try:
+        run_df = read_run(cat, num_wanted=depth) \
+            .rename(columns={"docid": "doc_id"})
+        run_df["doc_id"] = run_df["doc_id"].astype(int)
+        return evaluate_run(rd.from_pandas(run_df), read_qrels(qrels_path),
+                            cutoffs)
+    finally:
+        os.unlink(cat)
