@@ -50,6 +50,8 @@ from .manifest import Manifest, combine_hashes
 SEGMENT_SCHEMA = pa.schema([
     ("term", pa.string()),
     ("shard", pa.int32()),
+    ("salt", pa.int32()),          # doc-range bucket of this run (I6); the
+                                   # doc-partitioned search path prunes on it
     ("df", pa.int64()),
     ("cf", pa.int64()),
     ("doc_bytes", pa.large_binary()),
@@ -78,10 +80,14 @@ def _list_array(arrays: list[np.ndarray], dtype: pa.DataType) -> pa.ListArray:
 
 
 def rows_to_segment_table(terms: list[str], shards: np.ndarray,
-                          tps: list[TermPostings]) -> pa.Table:
+                          tps: list[TermPostings],
+                          salts: np.ndarray | None = None) -> pa.Table:
+    if salts is None:
+        salts = np.zeros(len(terms), np.int32)
     return pa.Table.from_arrays([
         pa.array(terms, type=pa.string()),
         pa.array(shards.astype(np.int32)),
+        pa.array(salts.astype(np.int32)),
         pa.array(np.fromiter((t.df for t in tps), np.int64, len(tps))),
         pa.array(np.fromiter((t.cf for t in tps), np.int64, len(tps))),
         pa.array([t.doc_bytes for t in tps], type=pa.large_binary()),
@@ -126,13 +132,15 @@ def _list_from_flat(values: np.ndarray, counts: np.ndarray,
                                     pa.array(values, type=dtype))
 
 
-def group_segment_table(terms: np.ndarray, shard: int, enc: dict) -> pa.Table:
+def group_segment_table(terms: np.ndarray, shard: int, enc: dict,
+                        salt: int = 0) -> pa.Table:
     """Segment rows for one encoded group (see codec.encode_group_postings)
     — all columns built from flat arrays, no per-term Python."""
     bpt = enc["blocks_per_term"]
     return pa.Table.from_arrays([
         pa.array(terms, type=pa.string()),
         pa.array(np.full(enc["n_terms"], shard, np.int32)),
+        pa.array(np.full(enc["n_terms"], salt, np.int32)),
         pa.array(enc["df"]),
         pa.array(enc["cf"]),
         _large_binary_slices(enc["doc_bytes"], enc["doc_byte_offsets"]),
@@ -163,6 +171,7 @@ class _EncodeGkeyTask:
         for _, row in batch.iterrows():
             gkey = int(row["gkey"])
             shard = gkey // GKEY_SALT_SPAN
+            salt = gkey % GKEY_SALT_SPAN
             tbl = pa.concat_tables([
                 pq.read_table(f, columns=["term", "doc_id", "tf", "dl"])
                 for f in row["files"]])
@@ -177,7 +186,7 @@ class _EncodeGkeyTask:
             enc = encode_group_postings(codes, doc, tf, dl, self.block_size)
             terms = uniq.to_numpy()[codes[enc["term_starts"]]] \
                 if hasattr(uniq, "to_numpy") else np.asarray(uniq)[codes[enc["term_starts"]]]
-            out.append(group_segment_table(terms, shard, enc))
+            out.append(group_segment_table(terms, shard, enc, salt))
         if not out:
             return rows_to_segment_table([], np.empty(0), [])
         return pa.concat_tables(out)
@@ -281,6 +290,9 @@ def build_index(
         "salt_docs_per_bucket": cfg.salt_docs_per_bucket,
         "fwd_docs_per_bucket": cfg.fwd_docs_per_bucket,
         "text_col": text_col, "id_col": id_col,
+        # bump to invalidate indexes whose on-disk layout predates a change
+        # (2: segments partitioned by (shard, salt) + salt column)
+        "segment_layout": 2,
     }
     if not resume:
         for sub in ("staged", "segments"):
@@ -356,6 +368,7 @@ def build_index(
     stats = {
         "num_docs": int(ndocs), "total_len": int(total_len), "avgdl": avgdl,
         "num_shards": cfg.num_shards, "n_salt": int(n_salt),
+        "salt_docs_per_bucket": int(cfg.salt_docs_per_bucket),
         "block_size": cfg.block_size, "analyzer": cfg.analyzer,
         "normalize_numbers": cfg.normalize_numbers,
         "stopword_file": cfg.stopword_file,
@@ -386,7 +399,7 @@ def build_index(
         # zero decode). Round-1 shipped an eager groupby(shard) merge here;
         # it shuffled every encoded posting byte through a sort operator for
         # no read-time benefit (measured 6.5s of the 2M-doc build).
-        runs.write_parquet(seg_tmp, partition_cols=["shard"])
+        runs.write_parquet(seg_tmp, partition_cols=["shard", "salt"])
         os.replace(seg_tmp, seg_dir)
         if n_salt > 1:
             # distinct terms, counted per shard in parallel (terms never

@@ -1,0 +1,69 @@
+"""Doc-partitioned sharded search must be IDENTICAL to the single-reader
+query-partitioned path — scores, ranks, and tie-breaks."""
+
+import pandas as pd
+import pytest
+
+from lucene_msmarco_ray.config import EngineConfig
+from lucene_msmarco_ray.index.build import build_index
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def salted_index(ray_session, tmp_path_factory):
+    import ray.data as rd
+    out = str(tmp_path_factory.mktemp("shidx") / "idx")
+    cfg = EngineConfig(analyzer="simple", num_shards=4, block_size=16,
+                       salt_docs_per_bucket=128)   # 500 docs → 4 doc shards
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"])
+    stats = build_index(ds, out, cfg, text_col="text", id_col="doc_id")
+    assert stats["n_salt"] == 4
+    return out
+
+
+QUERIES = [{"qid": "1", "text": "table value hash"},
+           {"qid": "2", "text": "window sort merge"},
+           {"qid": "9", "text": "table table key"},
+           {"qid": "12", "text": "zzmissing"}]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["qid", "rank"]).reset_index(drop=True) \
+        .astype({"doc_id": "int64", "rank": "int64"})
+
+
+@pytest.mark.parametrize("scorer,kw", [
+    ("bm25", {"k1": 0.7, "b": 0.3}),
+    ("lmdir", {"mu": 1000.0}),
+])
+def test_sharded_equals_single(salted_index, scorer, kw):
+    import ray.data as rd
+
+    from lucene_msmarco_ray.search.searcher import retrieve
+    from lucene_msmarco_ray.search.sharded import retrieve_sharded
+    qs = rd.from_items(QUERIES, override_num_blocks=2)
+    single = _canon(retrieve(qs, salted_index, scorer=scorer, k=50,
+                             **kw).to_pandas())
+    qs2 = rd.from_items(QUERIES, override_num_blocks=2)
+    sharded = _canon(retrieve_sharded(qs2, salted_index, scorer=scorer,
+                                      k=50, **kw).to_pandas())
+    pd.testing.assert_frame_equal(single, sharded)   # bit-identical scores
+
+
+def test_sharded_topk_cut_is_global(salted_index):
+    """k smaller than per-shard candidate counts: the merge must take the
+    global best, not per-shard quotas."""
+    import ray.data as rd
+
+    from lucene_msmarco_ray.search.searcher import retrieve
+    from lucene_msmarco_ray.search.sharded import retrieve_sharded
+    qs = rd.from_items(QUERIES[:1], override_num_blocks=1)
+    single = _canon(retrieve(qs, salted_index, scorer="bm25", k=7,
+                             k1=0.7, b=0.3).to_pandas())
+    qs2 = rd.from_items(QUERIES[:1], override_num_blocks=1)
+    sharded = _canon(retrieve_sharded(qs2, salted_index, scorer="bm25",
+                                      k=7, k1=0.7, b=0.3).to_pandas())
+    assert len(sharded) == 7
+    pd.testing.assert_frame_equal(single, sharded)
