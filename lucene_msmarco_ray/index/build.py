@@ -359,7 +359,12 @@ def build_index(
 
     # ---- global stats (I4) — footer row counts + parallel column sum ----
     meta_files = expand_parquet_files(_staged_dirs(out_dir, "m"))
-    ndocs = sum(pq.read_metadata(f).num_rows for f in meta_files)
+    # footer reads are tiny but numerous; a driver threadpool keeps this
+    # stage from becoming serial dead time at high parallelism (Amdahl)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        ndocs = sum(ex.map(lambda f: pq.read_metadata(f).num_rows,
+                           meta_files))
     total_len = int(rd.read_parquet(meta_files, columns=["dl"]).sum("dl")) \
         if ndocs else 0
     avgdl = (total_len / ndocs) if ndocs else 0.0

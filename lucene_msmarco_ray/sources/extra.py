@@ -78,52 +78,74 @@ def sparsevec_bm25_weight(tf: float, N: int, df: int, doc_len: float,
     return tf * (k + 1) / (tf + k * (1 - b + b * doc_len / avgdl) * idf)
 
 
+def _vocab_table(index_dir: str) -> pa.Table:
+    """Distinct (term, df) sorted by term — a term's salt runs are separate
+    segment rows (merge-free layout), so df aggregates here."""
+    return pads.dataset(os.path.join(index_dir, "segments")).to_table(
+        columns=["term", "df"]).group_by("term") \
+        .aggregate([("df", "sum")]).rename_columns(["term", "df"]) \
+        .sort_by("term")
+
+
 def write_sparse_vecs(index_dir: str, out_dir: str) -> tuple[str, str]:
     """S8: every doc's `term:tf` line + vocab.txt (term \\t id, insertion
     order = term order of first appearance per the reference's word2id map;
-    here: sorted segment term order for determinism). Streams via Ray over
-    the staged forward index; output is partitioned text-like parquet plus a
-    single vocab.txt."""
+    here: sorted vocab order for determinism). Runs shuffle-FREE over the
+    build-time forward index: each doc-bucket partition already co-locates a
+    doc's rows, so one task per bucket groups in memory (vectorized)."""
     import ray.data as rd
 
-    from ..index.build import expand_parquet_files, pads_dirs
+    from ..index.build import fwd_bucket_dirs, pads_dirs
     os.makedirs(out_dir, exist_ok=True)
-    seg = pads.dataset(os.path.join(index_dir, "segments")).to_table(
-        columns=["term", "df"]).sort_by("term")
     vocab_path = os.path.join(out_dir, "vocab.txt")
     with open(vocab_path, "w", encoding="utf-8") as f:
-        for i, t in enumerate(seg["term"].to_pylist()):
+        for i, t in enumerate(_vocab_table(index_dir)["term"].to_pylist()):
             f.write(f"{t}\t{i}\n")
 
-    base = os.path.join(index_dir, "staged")
-    dirs = sorted(os.path.join(base, p, "kind=p") for p in os.listdir(base)
-                  if p.startswith("part="))
+    buckets = fwd_bucket_dirs(index_dir)
+    if not buckets:
+        raise FileNotFoundError(f"no forward index under {index_dir}")
 
-    def per_doc(df_part):
+    def per_bucket(b):
+        import numpy as np
         import pandas as pd
-        rows = []
-        for doc_id, g in df_part.groupby("doc_id"):
-            vec = " ".join(f"{t}:{tf}" for t, tf in
-                           sorted(zip(g["term"], g["tf"])))
-            rows.append({"doc_id": doc_id, "sparse_vec": vec})
-        return pd.DataFrame(rows)
 
-    per_doc.__name__ = "per_doc_sparse_vec"
-    ds = rd.read_parquet(expand_parquet_files(dirs),
-                         columns=["term", "doc_id", "tf"])
+        from ..index.build import pads_dirs as _pads_dirs
+        out = []
+        for dirs in b["dirs"]:
+            t = _pads_dirs(list(dirs)).to_table(
+                columns=["doc_id", "term", "tf"])
+            doc = t["doc_id"].to_numpy(zero_copy_only=False)
+            term = np.asarray(t["term"].to_pylist(), dtype=object)
+            tf = t["tf"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((term, doc))
+            doc, term, tf = doc[order], term[order], tf[order]
+            starts = np.flatnonzero(np.concatenate(([True],
+                                                    doc[1:] != doc[:-1])))
+            ends = np.concatenate((starts[1:], [doc.size]))
+            pieces = np.array([f"{t_}:{f_}" for t_, f_ in zip(term, tf)],
+                              dtype=object)
+            out.append(pd.DataFrame({
+                "doc_id": doc[starts].astype("int64"),
+                "sparse_vec": [" ".join(pieces[s:e])
+                               for s, e in zip(starts, ends)]}))
+        return pd.concat(out, ignore_index=True)
+
+    per_bucket.__name__ = "per_bucket_sparse_vec"
+    desc = rd.from_items([{"dirs": d} for _, d in sorted(buckets.items())],
+                         override_num_blocks=len(buckets))
     vec_dir = os.path.join(out_dir, "vecs")
-    ds.groupby("doc_id").map_groups(per_doc, batch_format="pandas") \
+    desc.map_batches(per_bucket, batch_format="pandas", batch_size=1) \
         .write_parquet(vec_dir)
     return vec_dir, vocab_path
 
 
 def dump_vocab_df(index_dir: str, out_path: str) -> str:
-    """S14: `term \\t df` for every index term."""
-    seg = pads.dataset(os.path.join(index_dir, "segments")).to_table(
-        columns=["term", "df"]).sort_by("term")
+    """S14: `term \\t df` for every index term (df summed across salt runs)."""
+    t = _vocab_table(index_dir)
     with open(out_path, "w", encoding="utf-8") as f:
-        for t, d in zip(seg["term"].to_pylist(), seg["df"].to_pylist()):
-            f.write(f"{t}\t{d}\n")
+        for term, d in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            f.write(f"{term}\t{d}\n")
     return out_path
 
 
