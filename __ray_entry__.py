@@ -684,6 +684,62 @@ SELECT q_id, vec_id, rank::BIGINT AS rank, sim FROM ranked
 WHERE rank <= {k}"""
 
 
+def _ann_ivf_sql(n_clusters: int = 8, n_probe: int = 2, k: int = 10,
+                 dim: int = 64, n_iters: int = 2) -> str:
+    """Independent DuckDB recomputation of ivf_knn: the deterministic Lloyd
+    iterations are UNROLLED as CTE pairs (assignment → element-wise centroid
+    means), with the engine's exact conventions — init = vectors of the
+    n_clusters smallest ids, squared distances and centroids rounded at 9dp,
+    smaller-cluster-id tie-breaks, empty clusters keep their centroid."""
+    iters = []
+    prev = "c0"
+    for it in range(n_iters):
+        a, c, cf = f"a{it}", f"c{it + 1}", f"c{it + 1}f"
+        iters.append(f"""d{it} AS (
+  SELECT ev.vec_id, c.cluster, round(sum(pow(ev.x - c.cx, 2)), 9) AS d2
+  FROM ev JOIN {prev} c ON c.i = ev.i GROUP BY 1, 2),
+{a} AS (SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM d{it}) WHERE rn = 1),
+{c} AS (SELECT {a}.cluster, ev.i, round(avg(ev.x), 9) AS cx
+  FROM {a} JOIN ev ON ev.vec_id = {a}.vec_id GROUP BY 1, 2),
+{cf} AS (SELECT p.cluster, p.i, coalesce(n.cx, p.cx) AS cx
+  FROM {prev} p LEFT JOIN {c} n ON n.cluster = p.cluster AND n.i = p.i)""")
+        prev = cf
+    iters_sql = ",\n".join(iters)
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings),
+dims AS (SELECT unnest(range({dim})) AS i),
+ev AS (SELECT e.vec_id, d.i, e.v[d.i + 1] AS x FROM e CROSS JOIN dims d),
+c0 AS (SELECT vec_id AS cluster, i, round(x, 9) AS cx
+       FROM ev WHERE vec_id < {n_clusters}),
+{iters_sql},
+fd AS (SELECT ev.vec_id, c.cluster, round(sum(pow(ev.x - c.cx, 2)), 9) AS d2
+       FROM ev JOIN {prev} c ON c.i = ev.i GROUP BY 1, 2),
+af AS (SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM fd) WHERE rn = 1),
+probe AS (SELECT vec_id AS q_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM fd WHERE vec_id IN (0, 1, 2)) WHERE rn <= {n_probe}),
+sims AS (SELECT q.vec_id AS q_id, e2.vec_id,
+                round(list_cosine_similarity(q.v, e2.v), 6) AS sim
+         FROM e q
+         JOIN probe p ON p.q_id = q.vec_id
+         JOIN af ON af.cluster = p.cluster
+         JOIN e e2 ON e2.vec_id = af.vec_id
+         WHERE q.vec_id IN (0, 1, 2)),
+ranked AS (SELECT q_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY sim DESC, vec_id) AS rank
+           FROM sims)
+SELECT q_id, vec_id, rank::BIGINT AS rank, sim FROM ranked
+WHERE rank <= {k}"""
+
+
 def _qpp_sql(k1: float, b: float, k: int = 50) -> str:
     """NQC / cumulative-NQC / avgIDF / maxIDF per gate query. idf = ln(N/df)
     with the reference's two df=0 conventions (see qpp/methods.py)."""
@@ -853,6 +909,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                              columns=["vec_id", "embedding"])
         return lsh_knn(ds, qids, qmat, k=10, nbits=6)
+
+    def ann_ivf(sf_dir: str):
+        import ray.data as rd
+
+        from lucene_msmarco_ray.ops.ann import ivf_knn
+        qids, qmat = _emb_queries(sf_dir)
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        return ivf_knn(ds, qids, qmat, k=10, n_clusters=8, n_probe=2,
+                       n_iters=2)
 
     def emb_neardup(sf_dir: str):
         import ray.data as rd
@@ -1040,6 +1106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": ngram_jacc,
         "ann_bruteforce": ann_bruteforce,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash,
         "embedding_neardup": emb_neardup,
@@ -1193,6 +1260,7 @@ FROM w1 JOIN nrm ON nrm.doc_id = w1.doc_id""",
         "minhash_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),
+        "ann_ivf": _ann_ivf_sql(),
         "fdbk_rerank": _fdbk_rerank_sql(0.7, 0.3),
         "rm3_expand": _rm3_expand_sql(0.7, 0.3),
         "srlm_rerank": _srlm_rerank_sql(0.7, 0.3),

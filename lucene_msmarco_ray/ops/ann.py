@@ -216,6 +216,131 @@ def embedding_neardup(ds, threshold: float = 0.95, id_col: str = "vec_id",
         batch_format="pyarrow", batch_size=1, concurrency=(1, 8))
 
 
+def _assign_clusters(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin squared euclidean distance, ROUNDED at 9dp with smallest-
+    cluster-id tie-break — the rounding absorbs float-summation-order noise
+    so engine and SQL oracle assign identically."""
+    d2 = np.round(((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 9)
+    return np.argmin(d2, axis=1)          # first min → smallest cluster id
+
+
+class _KmeansAssignStage:
+    """One k-means iteration's map side: per-batch partial sums
+    (cluster, Σvec, count) — the combiner that keeps the groupby tiny."""
+
+    def __init__(self, cents_ref, id_col: str, vec_col: str):
+        self.cents = ray.get(cents_ref)
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, self.vec_col)
+        a = _assign_clusters(mat, self.cents)
+        sums, counts, clusters = [], [], []
+        for c in np.unique(a):
+            sel = a == c
+            clusters.append(int(c))
+            sums.append(mat[sel].sum(axis=0))
+            counts.append(int(sel.sum()))
+        return pa.table({
+            "cluster": pa.array(clusters, pa.int64()),
+            "vsum": pa.array([s.tolist() for s in sums],
+                             pa.list_(pa.float64())),
+            "n": pa.array(counts, pa.int64())})
+
+
+def kmeans_fit(ds, n_clusters: int, n_iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               init_ids: np.ndarray | None = None) -> np.ndarray:
+    """Deterministic distributed k-means (Lloyd): init = the vectors with the
+    ``n_clusters`` smallest ids (reproducible without randomness), then
+    ``n_iters`` rounds of map-side partial sums + one tiny (cluster) groupby
+    per round. Centroids round at 9dp each round (see _assign_clusters).
+    Only O(k·d) crosses the driver per iteration."""
+    if init_ids is None:
+        init_ids = np.arange(n_clusters)
+    seed_t = (ds.filter(expr=f"{id_col} in {sorted(int(i) for i in init_ids)}")
+              .to_pandas().sort_values(id_col))
+    cents = np.round(np.asarray(
+        [np.asarray(v, np.float64) for v in seed_t[vec_col]]), 9)
+    for _ in range(n_iters):
+        cref = ray.put(cents)
+        parts = ds.map_batches(
+            _KmeansAssignStage, fn_constructor_kwargs=dict(
+                cents_ref=cref, id_col=id_col, vec_col=vec_col),
+            batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+        new = cents.copy()
+        for c, g in parts.groupby("cluster"):
+            tot = np.sum(np.stack([np.asarray(v) for v in g["vsum"]]), axis=0)
+            n = int(g["n"].sum())
+            if n > 0:
+                new[int(c)] = np.round(tot / n, 9)
+        cents = new
+    return cents
+
+
+class _IvfScoreStage:
+    """Batch of (bucketed) vectors × broadcast queries: a query scores ONLY
+    vectors whose cluster is in its probe set."""
+
+    def __init__(self, qref, k: int, id_col: str, vec_col: str):
+        q = ray.get(qref)
+        self.qids = q["qids"]
+        self.qmat = _normalize(q["mat"])
+        self.probes = q["probes"]            # (nq, n_probe) cluster ids
+        self.k, self.id_col, self.vec_col = k, id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        vc = batch["cluster"].to_numpy(zero_copy_only=False)
+        mat = _normalize(_batch_matrix(batch, self.vec_col))
+        sims = self.qmat @ mat.T
+        allowed = (self.probes[:, :, None] == vc[None, None, :]).any(axis=1)
+        sims = np.where(allowed, sims, -np.inf)
+        return _partial_topk(sims, ids, self.qids, self.k)
+
+
+def ivf_knn(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 10,
+            n_clusters: int = 8, n_probe: int = 2, n_iters: int = 2,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            centroids: np.ndarray | None = None):
+    """IVF approximate top-k: k-means coarse quantizer, each query probes its
+    ``n_probe`` nearest centroids and ranks only those clusters' vectors by
+    rounded cosine. The scale path when the corpus outgrows brute force:
+    cost per query is O(n/k·n_probe·d) instead of O(n·d).
+
+    Probe selection: squared distance rounded at 9dp, smaller cluster id on
+    ties — identical in the SQL oracle."""
+    query_mat = np.asarray(query_mat, np.float64)
+    if centroids is None:
+        centroids = kmeans_fit(ds, n_clusters, n_iters, id_col, vec_col)
+    cref = ray.put(centroids)
+
+    class _AddCluster:
+        def __init__(self):
+            self.cents = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = _assign_clusters(_batch_matrix(batch, vec_col), self.cents)
+            return batch.append_column("cluster",
+                                       pa.array(a.astype(np.int64)))
+
+    d2 = np.round(((query_mat[:, None, :] - centroids[None, :, :]) ** 2)
+                  .sum(axis=2), 9)
+    probes = np.argsort(d2, kind="stable", axis=1)[:, :n_probe]
+    wanted = sorted({int(c) for row in probes for c in row})
+    qref = ray.put({"qids": np.asarray(query_ids, np.int64),
+                    "mat": query_mat, "probes": probes.astype(np.int64)})
+    bucketed = ds.map_batches(_AddCluster, batch_format="pyarrow",
+                              concurrency=(1, 8)) \
+        .filter(expr=f"cluster in {wanted}")
+    partial = bucketed.map_batches(
+        _IvfScoreStage, fn_constructor_kwargs=dict(
+            qref=qref, k=k, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+    return partial.groupby("q_id").map_groups(_final_topk(k),
+                                              batch_format="pandas")
+
+
 class _LshStage:
     """vec → (bucket, vec_id, embedding passthrough for rescoring).
 

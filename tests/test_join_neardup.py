@@ -62,6 +62,46 @@ def test_embedding_neardup_matches_allpairs(ray_session, tmp_path):
         assert len(out) == len(got)              # no duplicate emission
 
 
+def test_ivf_knn_recall_and_determinism(ray_session):
+    """IVF top-k ⊆ probed clusters; the probed clusters' results agree with
+    brute force restricted to them; kmeans is parallelism-invariant."""
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.ann import (
+        _assign_clusters,
+        brute_force_knn,
+        ivf_knn,
+        kmeans_fit,
+    )
+    rng = np.random.default_rng(5)
+    m = rng.standard_normal((80, 8))
+    items = [{"vec_id": i, "embedding": m[i].tolist()} for i in range(80)]
+    ds1 = rd.from_items(items, override_num_blocks=1)
+    ds8 = rd.from_items(items, override_num_blocks=8)
+    c1 = kmeans_fit(ds1, n_clusters=4, n_iters=2)
+    c8 = kmeans_fit(ds8, n_clusters=4, n_iters=2)
+    assert np.array_equal(c1, c8)            # 9dp rounding ⇒ invariant
+
+    qids = np.array([0, 3])
+    out = ivf_knn(rd.from_items(items, override_num_blocks=4), qids, m[[0, 3]],
+                  k=5, n_clusters=4, n_probe=2, n_iters=2).to_pandas()
+    # every result's vector lies in one of the query's probed clusters
+    assign = _assign_clusters(m, c1)
+    d2 = np.round(((m[[0, 3]][:, None, :] - c1[None, :, :]) ** 2).sum(axis=2), 9)
+    probes = np.argsort(d2, kind="stable", axis=1)[:, :2]
+    for qi, q in enumerate(qids):
+        sub = out[out["q_id"] == q]
+        assert set(assign[sub["vec_id"].to_numpy()]) <= set(probes[qi])
+        # and within the probed set, it IS the brute-force answer
+        allowed = np.flatnonzero(np.isin(assign, probes[qi]))
+        ds_allowed = rd.from_items([items[i] for i in allowed],
+                                   override_num_blocks=2)
+        bf = brute_force_knn(ds_allowed, np.array([q]), m[[q]],
+                             k=5).to_pandas()
+        assert sub.sort_values("rank")["vec_id"].tolist() == \
+            bf.sort_values("rank")["vec_id"].tolist()
+
+
 def test_lsh_knn_per_query_bucket(ray_session):
     """Each query's results only contain vectors from ITS bucket, and sims
     agree with brute force on those vectors."""
