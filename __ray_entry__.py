@@ -651,6 +651,79 @@ JOIN qidf q ON q.qid = f.qid
 LEFT JOIN totd t ON t.qid = f.qid"""
 
 
+def _qpp_correlation_sql(k1: float, b: float, k: int = 50) -> str:
+    """qpp_experiment oracle: per-query AP (6dp) × {nqc, avgidf, maxidf}
+    (6dp) → pearson (corr()), Kendall tau-b (pair counting, commons-math3
+    semantics), SARE (stable ASC argsort rank shifts, qid-string position
+    as the stable tiebreak — matching merged.sort_values('qid'))."""
+    return _ranked_cte(k1, b) + f""",
+{_QRELS_SQL},
+tot AS (SELECT qid,
+               sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END)::DOUBLE AS total_rel
+        FROM qrels GROUP BY 1),
+hits AS (SELECT qid, rank,
+                row_number() OVER (PARTITION BY qid ORDER BY rank) AS nrel
+         FROM ann WHERE rel >= 2),
+aps AS (SELECT qid, sum(nrel / rank::DOUBLE) AS s FROM hits GROUP BY 1),
+evalq AS (SELECT t.qid, round(coalesce(a.s, 0) / t.total_rel, 6) AS ap
+          FROM tot t LEFT JOIN aps a ON a.qid = t.qid
+          WHERE EXISTS (SELECT 1 FROM ranked r WHERE r.qid = t.qid)),
+qterms AS (SELECT DISTINCT qid, term FROM qv),
+idfv AS (
+  SELECT qt.qid,
+         ln(s.n / coalesce(df.df, 1)) AS idf_nqc,
+         CASE WHEN df.df IS NOT NULL THEN ln(s.n / df.df) END AS idf_real
+  FROM qterms qt LEFT JOIN df ON df.term = qt.term CROSS JOIN stats s),
+qidf AS (
+  SELECT qid, avg(idf_nqc) AS avg_idf_nqc,
+         coalesce(max(idf_real), 0) AS maxidf,
+         coalesce(sum(idf_real), 0) / count(*) AS avgidf
+  FROM idfv GROUP BY 1),
+v AS (SELECT qid, var_pop(score) AS vp FROM ranked
+      WHERE rank <= {k} GROUP BY 1),
+qppq AS (SELECT v.qid, round(v.vp * q.avg_idf_nqc, 6) AS nqc,
+                round(q.avgidf, 6) AS avgidf, round(q.maxidf, 6) AS maxidf
+         FROM v JOIN qidf q ON q.qid = v.qid),
+est AS (SELECT qid, 'nqc' AS method, nqc AS val FROM qppq
+        UNION ALL SELECT qid, 'avgidf', avgidf FROM qppq
+        UNION ALL SELECT qid, 'maxidf', maxidf FROM qppq),
+merged AS (SELECT e.method, e.qid, ev.ap, e.val,
+                  row_number() OVER (PARTITION BY e.method
+                                     ORDER BY e.qid) AS pos
+           FROM est e JOIN evalq ev ON ev.qid = e.qid),
+n1 AS (SELECT method, count(*)::DOUBLE AS n FROM merged GROUP BY 1),
+pear AS (SELECT method, corr(ap, val) AS pv FROM merged GROUP BY 1),
+prs AS (SELECT a.method,
+               sum(CASE WHEN sign(a.ap - b.ap) * sign(a.val - b.val) > 0
+                        THEN 1 ELSE 0 END)::DOUBLE AS conc,
+               sum(CASE WHEN sign(a.ap - b.ap) * sign(a.val - b.val) < 0
+                        THEN 1 ELSE 0 END)::DOUBLE AS disc,
+               sum(CASE WHEN a.ap = b.ap AND a.val <> b.val
+                        THEN 1 ELSE 0 END)::DOUBLE AS ta,
+               sum(CASE WHEN a.val = b.val AND a.ap <> b.ap
+                        THEN 1 ELSE 0 END)::DOUBLE AS tb
+        FROM merged a JOIN merged b
+          ON a.method = b.method AND a.pos < b.pos
+        GROUP BY 1),
+kend AS (SELECT method,
+                (conc - disc) / sqrt((conc + disc + ta) * (conc + disc + tb))
+                  AS kv
+         FROM prs),
+ga AS (SELECT method, pos,
+              row_number() OVER (PARTITION BY method ORDER BY ap, pos) AS r
+       FROM merged),
+gp AS (SELECT method, pos,
+              row_number() OVER (PARTITION BY method ORDER BY val, pos) AS r
+       FROM merged),
+sare AS (SELECT ga.method, avg(abs(ga.pos - gp.pos) / n1.n) AS sv
+         FROM ga JOIN gp ON gp.method = ga.method AND gp.r = ga.r
+         JOIN n1 ON n1.method = ga.method
+         GROUP BY 1)
+SELECT method, 'pearson' AS corr_metric, round(pv, 6) AS value FROM pear
+UNION ALL SELECT method, 'kendall', round(kv, 6) FROM kend
+UNION ALL SELECT method, 'sare', round(sv, 6) FROM sare"""
+
+
 def _ann_lsh_sql(nbits: int = 6, seed: int = 5, dim: int = 64,
                  k: int = 10) -> str:
     """Independent DuckDB recomputation of lsh_knn: identical seeded
@@ -1033,6 +1106,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rocchio_pipeline(run, idx, _gate_query_map(), rel_map,
                                 top_k=20, round_to=6, concurrency=2)
 
+    def qpp_correlation(sf_dir: str):
+        """§2.11 composite (TRECDLQPPEvaluator surface): per-query AP ×
+        QPP estimates → pearson / kendall tau-b / SARE per method."""
+        from lucene_msmarco_ray.pipelines.experiment import qpp_experiment
+        run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
+        idx = _ensure_index(sf_dir)
+        out = qpp_experiment(run, _gate_qrels(sf_dir), _gate_query_map(),
+                             idx, target_metric="ap",
+                             methods=("nqc", "avgidf", "maxidf"),
+                             corr_metrics=("pearson", "kendall", "sare"))
+        return out
+
     def bpe_roundtrip(sf_dir: str):
         """T7: train BPE on the documents table (Ray word-count pipeline),
         encode every doc in an actor-pool stage WITH word markers, decode,
@@ -1114,6 +1199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_metrics": eval_metrics,
         "rel_annotate": rel_annotate,
         "bpe_roundtrip": bpe_roundtrip,
+        "qpp_correlation": qpp_correlation,
         "qpp_basic": qpp_basic,
         "qpp_sampling": qpp_sampling,
         "fdbk_rerank": fdbk_rerank,
@@ -1261,6 +1347,7 @@ FROM w1 JOIN nrm ON nrm.doc_id = w1.doc_id""",
         "simhash_pairs": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
+        "qpp_correlation": _qpp_correlation_sql(0.7, 0.3),
         "fdbk_rerank": _fdbk_rerank_sql(0.7, 0.3),
         "rm3_expand": _rm3_expand_sql(0.7, 0.3),
         "srlm_rerank": _srlm_rerank_sql(0.7, 0.3),
