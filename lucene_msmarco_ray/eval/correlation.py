@@ -26,7 +26,6 @@ queries), semantics mirrored from the reference with quirks flagged.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 
 def pearson(a, b) -> float:

@@ -23,7 +23,6 @@ outgrows the object store).
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray

@@ -5,18 +5,21 @@ in-memory segment build, flush and merge all happen inside Lucene).
 
 Dataflow (SURVEY.md §3.1, operators I1-I7)::
 
-    corpus parquet ──map_batches(TokenizeStage)──► staged/part=<pid>/kind={p,m}
-        (per build partition; per-partition sha256 lineage in manifest)
+    corpus parquet ──map_batches(TokenizeStage)──►
+        staged/part=<pid>/kind={p,f,m}   (ONE pass, ONE partitioned write:
+        p = postings keyed by gkey=shard·2^20+salt, f = forward-index copy
+        keyed by doc bucket, m = doc metadata + lineage sha)
     staged kind=m ──aggregate──► stats.json  (N, total_len → avgdl)
-    staged kind=p ──map_batches(shard+salt)──groupby(gkey)──map_groups(encode)──►
-        term runs ──[groupby(shard)──map_groups(concat salt runs)]──►
-        segments/shard=K/*.parquet   (block-local varbyte postings + block-max)
+    staged kind=p ──one vectorized encode task per gkey dir──►
+        segments/shard=S/salt=B/*.parquet (block-local varbyte + block-max)
 
-Shuffle inventory: exactly ONE all-to-all exchange over the postings
-(``groupby(gkey)``); the optional second exchange moves only compressed runs
-and only exists when salting was active (more than one doc-range bucket).
-Skew: heavy terms are split across salt buckets — the per-group memory bound
-is ``(vocab slice) × salt_docs_per_bucket`` postings, independent of any one
+Shuffle inventory: exactly ONE exchange over the postings, realized as the
+partitioned staged write (no all-to-all operator). A salted term's runs
+stay as SEPARATE segment rows — the reader concatenates them at load time
+(codec.concat_runs, zero decode), and the (shard, salt) directory layout
+doubles as the doc-partitioned search path's pruning structure. Skew: heavy
+terms are split across salt buckets — the per-group memory bound is
+``(vocab slice) × salt_docs_per_bucket`` postings, independent of any one
 term's df (SURVEY.md I6).
 
 Resumability: tokenize partitions are skipped when their lineage sha matches
@@ -39,13 +42,8 @@ import ray.data as rd
 
 from ..config import EngineConfig
 from ..stages.tokenize import TokenizeStage
-from .codec import (
-    TermPostings,
-    concat_runs,
-    encode_group_postings,
-    encode_term_postings,
-)
-from .manifest import Manifest, combine_hashes
+from .codec import TermPostings, encode_group_postings
+from .manifest import Manifest
 
 SEGMENT_SCHEMA = pa.schema([
     ("term", pa.string()),

@@ -24,7 +24,7 @@ Everything is numpy-vectorized; no Python loop over postings.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

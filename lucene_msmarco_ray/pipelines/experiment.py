@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from ..eval.correlation import METRIC_REGISTRY, kendall, sare
+from ..eval.correlation import METRIC_REGISTRY
 from ..eval.metrics import per_query_metrics
 from .feedback import qpp_estimates
 

@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
 from ..analysis import get_analyzer
-from ..index.build import pads_dirs, term_postings_from_row, term_shard
+from ..index.build import pads_dirs, term_shard
 from ..index.codec import TermPostings, concat_runs, decode_all
 from .scoring import make_scorer
 

@@ -44,7 +44,7 @@ from ..analysis import get_analyzer
 from ..index.build import pads_dirs
 from ..index.codec import decode_all
 from .scoring import make_scorer
-from .searcher import RUN_SCHEMA, _topk_exact
+from .searcher import _topk_exact
 
 
 def _global_term_stats(index_dir: str) -> dict[str, tuple[int, int]]:

@@ -95,7 +95,7 @@ def write_sparse_vecs(index_dir: str, out_dir: str) -> tuple[str, str]:
     doc's rows, so one task per bucket groups in memory (vectorized)."""
     import ray.data as rd
 
-    from ..index.build import fwd_bucket_dirs, pads_dirs
+    from ..index.build import fwd_bucket_dirs
     os.makedirs(out_dir, exist_ok=True)
     vocab_path = os.path.join(out_dir, "vocab.txt")
     with open(vocab_path, "w", encoding="utf-8") as f:
