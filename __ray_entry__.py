@@ -1106,6 +1106,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rocchio_pipeline(run, idx, _gate_query_map(), rel_map,
                                 top_k=20, round_to=6, concurrency=2)
 
+    def sessionize_gate(sf_dir: str):
+        import ray.data as rd
+
+        from lucene_msmarco_ray.ops.events import sessionize
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "ts", "user_id", "value"])
+        return sessionize(ds, gap_seconds=1800)
+
+    def windowed_agg_gate(sf_dir: str):
+        import ray.data as rd
+
+        from lucene_msmarco_ray.ops.events import windowed_agg
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["ts", "event_type", "value"])
+        return windowed_agg(ds, window_seconds=3600)
+
     def qpp_correlation(sf_dir: str):
         """§2.11 composite (TRECDLQPPEvaluator surface): per-query AP ×
         QPP estimates → pearson / kendall tau-b / SARE per method."""
@@ -1199,6 +1215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_metrics": eval_metrics,
         "rel_annotate": rel_annotate,
         "bpe_roundtrip": bpe_roundtrip,
+        "sessionize": sessionize_gate,
+        "windowed_agg": windowed_agg_gate,
         "qpp_correlation": qpp_correlation,
         "qpp_basic": qpp_basic,
         "qpp_sampling": qpp_sampling,
@@ -1348,6 +1366,25 @@ FROM w1 JOIN nrm ON nrm.doc_id = w1.doc_id""",
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "qpp_correlation": _qpp_correlation_sql(0.7, 0.3),
+        "sessionize": """WITH x AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS sid
+      FROM x)
+SELECT user_id, sid::BIGINT AS session_id, count(*)::BIGINT AS n_events,
+       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+       round(sum(value), 6) AS total_value
+FROM s GROUP BY 1, 2""",
+        "windowed_agg": """SELECT event_type,
+  (epoch_us(ts) // 3600000000)::BIGINT AS window_id,
+  count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2""",
         "fdbk_rerank": _fdbk_rerank_sql(0.7, 0.3),
         "rm3_expand": _rm3_expand_sql(0.7, 0.3),
         "srlm_rerank": _srlm_rerank_sql(0.7, 0.3),

@@ -1,0 +1,125 @@
+"""Event-stream operators (beyond-reference; prompt §custom-operators:
+"windowed aggregate" / sessionization over the testdata ``events`` table).
+
+* sessionize — gap-based sessions per user: consecutive events of a user
+  belong to one session while the inter-event gap is ≤ ``gap_seconds``.
+  Expressed as a composition (the prompt's option (a)): one coarse
+  int-keyed exchange co-locates each user's events (``user_id % 64`` —
+  users are numerous and small, so partitions batch many users and the
+  session detection is ONE vectorized pass per partition), no per-user
+  pandas groups.
+* windowed_agg — tumbling time windows per event type: a pure
+  pre-aggregated groupby (window id computed in the map stage; the shuffle
+  moves only (type, window, partial) rows).
+
+Partitioning assumptions (documented per the prompt): sessionize requires
+each user's events co-located (hash on user_id — skew means one hot user
+lands in one partition; cap or sub-sessionize hot users upstream);
+windowed_agg has no co-location requirement at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .dedup import _NUM_PARTS, _mix64
+
+
+def _ts_us(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us"))    # normalize unit before int cast
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def sessionize(ds, gap_seconds: int = 1800, user_col: str = "user_id",
+               ts_col: str = "ts", value_col: str = "value",
+               id_col: str = "event_id"):
+    """→ (user_id, session_id, n_events, start_us, end_us, total_value).
+
+    session_id is the user's 0-based session ordinal by time; event order
+    within equal timestamps breaks on event_id (deterministic, matches the
+    SQL oracle's window ORDER BY ts, event_id)."""
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def part_of(batch: pa.Table) -> pa.Table:
+        u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_mix64(u) % np.uint64(_NUM_PARTS)).astype(np.int64)
+        return pa.table({
+            "__part": pa.array(p),
+            "user_id": batch[user_col].cast(pa.int64()),
+            "ts_us": pa.array(_ts_us(batch[ts_col])),
+            "event_id": batch[id_col].cast(pa.int64()),
+            "value": batch[value_col].cast(pa.float64()),
+        })
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        val = g["value"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, val = u[order], ts[order], eid[order], val[order]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.concatenate(([0], ts[1:] - ts[:-1]))
+        new_sess = new_user | (gap > gap_us)
+        sid_global = np.cumsum(new_sess) - 1          # global session index
+        # per-user ordinal: subtract the user's first global session index
+        ustarts = np.flatnonzero(new_user)
+        ulens = np.diff(np.concatenate((ustarts, [u.size])))
+        sid = sid_global - np.repeat(sid_global[ustarts], ulens)
+        starts = np.flatnonzero(new_sess)
+        sizes = np.diff(np.concatenate((starts, [u.size])))
+        return pd.DataFrame({
+            "user_id": u[starts],
+            "session_id": sid[starts].astype(np.int64),
+            "n_events": sizes.astype(np.int64),
+            "start_us": ts[starts],
+            "end_us": ts[starts + sizes - 1],
+            "total_value": np.round(np.add.reduceat(val, starts), 6),
+        })
+
+    sessions.__name__ = "sessionize"
+    return (ds.map_batches(part_of, batch_format="pyarrow")
+            .groupby("__part").map_groups(sessions, batch_format="pandas"))
+
+
+def windowed_agg(ds, window_seconds: int = 3600, key_col: str = "event_type",
+                 ts_col: str = "ts", value_col: str = "value"):
+    """Tumbling-window aggregate → (event_type, window_id, n_events,
+    total_value). The window id is computed in the map stage so the groupby
+    only shuffles (key, window, partial-count, partial-sum) rows — the
+    pre-aggregation discipline for wide aggregations."""
+    win_us = int(window_seconds) * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = _ts_us(batch[ts_col]) // win_us
+        key = batch[key_col].to_pandas()
+        df = pd.DataFrame({"k": key, "w": w,
+                           "v": batch[value_col].to_numpy(
+                               zero_copy_only=False)})
+        agg = df.groupby(["k", "w"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        return pa.table({key_col: pa.array(agg["k"].astype(str)),
+                         "window_id": pa.array(agg["w"].astype(np.int64)),
+                         "n": pa.array(agg["n"].astype(np.int64)),
+                         "s": pa.array(agg["s"].astype(np.float64))})
+
+    from ray.data.aggregate import Sum
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            key_col: batch[key_col],
+            "window_id": batch["window_id"],
+            "n_events": batch["sum(n)"].cast(pa.int64()),
+            "total_value": pc.round(batch["sum(s)"], ndigits=6),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, "window_id"])
+            .aggregate(Sum("n"), Sum("s"))
+            .map_batches(finish, batch_format="pyarrow"))

@@ -1,0 +1,58 @@
+"""Sessionization and tumbling-window aggregates over event streams,
+against hand-computed goldens (gap boundaries, timestamp ties)."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+
+def _ev(eid, user, sec, value, etype="view"):
+    base = dt.datetime(2024, 1, 1)
+    return {"event_id": eid, "user_id": user,
+            "ts": base + dt.timedelta(seconds=sec),
+            "event_type": etype, "value": value}
+
+
+def test_sessionize_goldens(ray_session):
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.events import sessionize
+    rows = [
+        _ev(0, 1, 0, 1.0),
+        _ev(1, 1, 1800, 2.0),     # gap == 1800s → SAME session (strict >)
+        _ev(2, 1, 3601, 4.0),     # gap 1801s → new session
+        _ev(3, 2, 0, 8.0),        # other user, own sessions
+        _ev(5, 2, 0, 16.0),       # tie on ts → ordered by event_id
+        _ev(4, 2, 0, 32.0),
+    ]
+    ds = rd.from_items(rows, override_num_blocks=3)
+    out = sessionize(ds, gap_seconds=1800).to_pandas() \
+        .sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    assert out["user_id"].tolist() == [1, 1, 2]
+    assert out["session_id"].tolist() == [0, 1, 0]
+    assert out["n_events"].tolist() == [2, 1, 3]
+    assert out["total_value"].tolist() == [3.0, 4.0, 56.0]
+    base_us = int(dt.datetime(2024, 1, 1).timestamp()) * 1_000_000
+    assert out["start_us"].tolist() == [base_us, base_us + 3601 * 10**6,
+                                        base_us]
+    assert out["end_us"].tolist() == [base_us + 1800 * 10**6,
+                                      base_us + 3601 * 10**6, base_us]
+
+
+def test_windowed_agg_goldens(ray_session):
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.events import windowed_agg
+    rows = [
+        _ev(0, 1, 10, 1.5, "click"),
+        _ev(1, 1, 3599, 2.5, "click"),     # same hour window
+        _ev(2, 1, 3600, 4.0, "click"),     # next window boundary
+        _ev(3, 2, 20, 8.0, "view"),
+    ]
+    ds = rd.from_items(rows, override_num_blocks=2)
+    out = windowed_agg(ds, window_seconds=3600).to_pandas() \
+        .sort_values(["event_type", "window_id"]).reset_index(drop=True)
+    got = list(zip(out["event_type"], out["n_events"], out["total_value"]))
+    assert got == [("click", 2, 4.0), ("click", 1, 4.0), ("view", 1, 8.0)]
+    assert out["window_id"].iloc[1] == out["window_id"].iloc[0] + 1
