@@ -1122,6 +1122,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["ts", "event_type", "value"])
         return windowed_agg(ds, window_seconds=3600)
 
+    def asof_join_gate(sf_dir: str):
+        """Each click matched to the user's latest preceding (or same-
+        instant) view — DuckDB ASOF LEFT JOIN is the oracle."""
+        import ray.data as rd
+
+        from lucene_msmarco_ray.ops.events import asof_join
+        ev = os.path.join(sf_dir, "events.parquet")
+        clicks = rd.read_parquet(ev).filter(expr="event_type == 'click'")
+        views = rd.read_parquet(ev).filter(expr="event_type == 'view'")
+        return asof_join(clicks, views, by_col="user_id", ts_col="ts",
+                         right_cols={"event_id": "view_event"},
+                         left_cols=["event_id"])
+
     def qpp_correlation(sf_dir: str):
         """§2.11 composite (TRECDLQPPEvaluator surface): per-query AP ×
         QPP estimates → pearson / kendall tau-b / SARE per method."""
@@ -1217,6 +1230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_roundtrip": bpe_roundtrip,
         "sessionize": sessionize_gate,
         "windowed_agg": windowed_agg_gate,
+        "asof_join": asof_join_gate,
         "qpp_correlation": qpp_correlation,
         "qpp_basic": qpp_basic,
         "qpp_sampling": qpp_sampling,
@@ -1385,6 +1399,11 @@ FROM s GROUP BY 1, 2""",
   (epoch_us(ts) // 3600000000)::BIGINT AS window_id,
   count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
 FROM events GROUP BY 1, 2""",
+        "asof_join": """SELECT c.user_id, c.event_id,
+       v.event_id AS view_event
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts""",
         "fdbk_rerank": _fdbk_rerank_sql(0.7, 0.3),
         "rm3_expand": _rm3_expand_sql(0.7, 0.3),
         "srlm_rerank": _srlm_rerank_sql(0.7, 0.3),

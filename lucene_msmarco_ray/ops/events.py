@@ -87,6 +87,82 @@ def sessionize(ds, gap_seconds: int = 1800, user_col: str = "user_id",
             .groupby("__part").map_groups(sessions, batch_format="pandas"))
 
 
+def asof_join(left_ds, right_ds, by_col: str, ts_col: str,
+              right_cols: dict[str, str], left_cols: list[str]):
+    """Backward as-of join (prompt §custom-operators): for every left row,
+    the LATEST right row of the same ``by_col`` with right.ts <= left.ts.
+
+    Composition: both sides align under one Arrow schema (typed nulls for
+    the other side's fields, same discipline as ops.join), ONE coarse
+    int-keyed exchange co-locates each by-key's rows, and each partition
+    runs pandas ``merge_asof`` (C kernel) over its many keys at once.
+    Tie discipline: among right rows sharing the exact timestamp, the one
+    latest in (ts, original order) wins — deterministic, matching DuckDB's
+    ASOF JOIN on the gate data (exact-tie ambiguity is noted; synthetic
+    microsecond timestamps make collisions measure-zero).
+
+    ``right_cols``: {right column → output name}; ``left_cols``: left
+    columns to carry through. Unmatched left rows keep nulls."""
+    out_right = list(right_cols.values())
+    lschema = left_ds.schema().base_schema
+    rschema = right_ds.schema().base_schema
+
+    fields = [pa.field(by_col, pa.int64()), pa.field("__ts", pa.int64()),
+              pa.field("__side", pa.int8())]
+    fields += [pa.field(c, lschema.field(c).type) for c in left_cols]
+    fields += [pa.field(o, rschema.field(c).type)
+               for c, o in right_cols.items()]
+    target = pa.schema(fields)
+
+    def align(side: int, colmap: dict[str, str]):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            inv = {v: k for k, v in colmap.items()}
+            cols = []
+            for field in target:
+                if field.name == by_col:
+                    cols.append(batch[by_col].cast(pa.int64()))
+                elif field.name == "__ts":
+                    cols.append(pa.array(_ts_us(batch[ts_col])))
+                elif field.name == "__side":
+                    cols.append(pa.array(np.full(n, side, np.int8)))
+                elif side == 0 and field.name in left_cols:
+                    cols.append(batch[field.name].cast(field.type))
+                elif side == 1 and field.name in inv:
+                    cols.append(batch[inv[field.name]].cast(field.type))
+                else:
+                    cols.append(pa.nulls(n, type=field.type))
+            return pa.Table.from_arrays(cols, schema=target)
+        f.__name__ = f"asof_side{side}"
+        return f
+
+    lds = left_ds.map_batches(align(0, {}), batch_format="pyarrow")
+    rds = right_ds.map_batches(align(1, right_cols), batch_format="pyarrow")
+
+    def part_of(batch: pa.Table) -> pa.Table:
+        u = batch[by_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_mix64(u) % np.uint64(_NUM_PARTS)).astype(np.int64)
+        return batch.append_column("__part", pa.array(p))
+
+    both = lds.union(rds).map_batches(part_of, batch_format="pyarrow")
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0][[by_col, "__ts"] + left_cols] \
+            .sort_values(["__ts", by_col], kind="mergesort")
+        rg = g[g["__side"] == 1][[by_col, "__ts"] + out_right] \
+            .sort_values(["__ts", by_col], kind="mergesort")
+        if lg.empty:
+            return pd.DataFrame(columns=[by_col] + left_cols + out_right)
+        merged = pd.merge_asof(lg, rg, on="__ts", by=by_col,
+                               direction="backward",
+                               allow_exact_matches=True)
+        return merged[[by_col] + left_cols + out_right]
+
+    join_part.__name__ = "asof_join"
+    return both.groupby("__part").map_groups(join_part,
+                                             batch_format="pandas")
+
+
 def windowed_agg(ds, window_seconds: int = 3600, key_col: str = "event_type",
                  ts_col: str = "ts", value_col: str = "value"):
     """Tumbling-window aggregate → (event_type, window_id, n_events,

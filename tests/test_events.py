@@ -40,6 +40,33 @@ def test_sessionize_goldens(ray_session):
                                       base_us + 3601 * 10**6, base_us]
 
 
+def test_asof_join_goldens(ray_session):
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.events import asof_join
+    clicks = rd.from_items([
+        _ev(10, 1, 100, 0, "click"),   # after views 0,1 → latest is 1
+        _ev(11, 1, 5, 0, "click"),     # exact-match ts with view 0 → view 0
+        _ev(12, 2, 50, 0, "click"),    # user 2 has no views → null
+    ], override_num_blocks=2)
+    views = rd.from_items([
+        _ev(0, 1, 5, 0, "view"),
+        _ev(1, 1, 60, 0, "view"),
+    ], override_num_blocks=1)
+    out = asof_join(clicks, views, by_col="user_id", ts_col="ts",
+                    right_cols={"event_id": "view_event"},
+                    left_cols=["event_id"]).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert out["event_id"].tolist() == [10, 11, 12]
+    got = out["view_event"].tolist()
+    assert got[0] == 1 and got[1] == 0 and pd_isna(got[2])
+
+
+def pd_isna(x):
+    import pandas as pd
+    return pd.isna(x)
+
+
 def test_windowed_agg_goldens(ray_session):
     import ray.data as rd
 
