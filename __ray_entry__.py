@@ -84,7 +84,8 @@ def _rounded_run(sf_dir: str, scorer: str, k: int = _K, **scorer_kw):
     from lucene_msmarco_ray.search.searcher import retrieve
 
     idx = _ensure_index(sf_dir)
-    run = retrieve(_queries_ds(), idx, scorer=scorer, k=k, concurrency=2,
+    run = retrieve(_queries_ds(), idx, scorer=scorer, k=k, concurrency=(1, 2),
+                   actor_num_cpus=0.5,
                    **scorer_kw)
 
     def rr(g: pd.DataFrame) -> pd.DataFrame:
@@ -1059,7 +1060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from lucene_msmarco_ray.pipelines.feedback import induced_rescore
         run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
         idx = _ensure_index(sf_dir)
-        return induced_rescore(run, idx, _gate_query_map(), concurrency=2)
+        return induced_rescore(run, idx, _gate_query_map(), concurrency=(1, 2))
 
     def lm_docw(sf_dir: str):
         from lucene_msmarco_ray.pipelines.feedback import lm_doc_weights
@@ -1069,7 +1070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from lucene_msmarco_ray.pipelines.feedback import sparsevec_topdocs
         run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
         idx = _ensure_index(sf_dir)
-        return sparsevec_topdocs(run, idx, k=10, concurrency=2)
+        return sparsevec_topdocs(run, idx, k=10, concurrency=(1, 2))
 
     def bigrams(sf_dir: str):
         import pandas as pd
@@ -1096,7 +1097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
         return srlm_rerank_pipeline(run, idx, _gate_query_map(), rel_pairs,
                                     top_k=50, prune_to=5, round_to=6,
-                                    concurrency=2)
+                                    concurrency=(1, 2))
 
     def rocchio(sf_dir: str):
         from lucene_msmarco_ray.pipelines.feedback import rocchio_pipeline
@@ -1104,7 +1105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         rel_map = _gate_rel_docs(sf_dir)
         run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
         return rocchio_pipeline(run, idx, _gate_query_map(), rel_map,
-                                top_k=20, round_to=6, concurrency=2)
+                                top_k=20, round_to=6, concurrency=(1, 2))
 
     def sessionize_gate(sf_dir: str):
         import ray.data as rd
@@ -1181,28 +1182,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = _ensure_index(sf_dir)
         return qpp_estimates(run, idx, _gate_query_map(), k=50,
                              methods=("nqc", "cumnqc", "avgidf", "maxidf"),
-                             concurrency=2)
+                             concurrency=(1, 2))
 
     def qpp_sampling(sf_dir: str):
         from lucene_msmarco_ray.pipelines.feedback import qpp_estimates
         run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
         idx = _ensure_index(sf_dir)
         return qpp_estimates(run, idx, _gate_query_map(), k=50,
-                             methods=("rsd", "uef"), concurrency=2)
+                             methods=("rsd", "uef"), concurrency=(1, 2))
 
     def fdbk_rerank(sf_dir: str):
         from lucene_msmarco_ray.pipelines.feedback import feedback_rerank
         run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
         idx = _ensure_index(sf_dir)
         return feedback_rerank(run, idx, _gate_query_map(),
-                               model="conditional", concurrency=2,
+                               model="conditional", concurrency=(1, 2),
                                round_to=6)
 
     def rm3_expand(sf_dir: str):
         from lucene_msmarco_ray.pipelines.feedback import expand_queries
         run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
         idx = _ensure_index(sf_dir)
-        return expand_queries(run, idx, _gate_query_map(), concurrency=2,
+        return expand_queries(run, idx, _gate_query_map(), concurrency=(1, 2),
                               round_to=6)
 
     return {

@@ -117,7 +117,8 @@ def brute_force_knn(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 1
     partial = ds.map_batches(
         _BruteForceStage, fn_constructor_kwargs=dict(
             qref=qref, k=k, id_col=id_col, vec_col=vec_col),
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
+        num_cpus=0.5)
     return partial.groupby("q_id").map_groups(_final_topk(k),
                                               batch_format="pandas")
 
@@ -213,7 +214,8 @@ def embedding_neardup(ds, threshold: float = 0.95, id_col: str = "vec_id",
         _BlockPairStage, fn_constructor_kwargs=dict(
             work_dir=work_dir, threshold=threshold, id_col=id_col,
             vec_col=vec_col),
-        batch_format="pyarrow", batch_size=1, concurrency=(1, 8))
+        batch_format="pyarrow", batch_size=1, concurrency=(1, 8),
+        num_cpus=0.5)
 
 
 def _assign_clusters(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
@@ -267,7 +269,7 @@ def kmeans_fit(ds, n_clusters: int, n_iters: int = 2,
         parts = ds.map_batches(
             _KmeansAssignStage, fn_constructor_kwargs=dict(
                 cents_ref=cref, id_col=id_col, vec_col=vec_col),
-            batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+            batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5).to_pandas()
         new = cents.copy()
         for c, g in parts.groupby("cluster"):
             tot = np.sum(np.stack([np.asarray(v) for v in g["vsum"]]), axis=0)
@@ -331,12 +333,13 @@ def ivf_knn(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 10,
     qref = ray.put({"qids": np.asarray(query_ids, np.int64),
                     "mat": query_mat, "probes": probes.astype(np.int64)})
     bucketed = ds.map_batches(_AddCluster, batch_format="pyarrow",
-                              concurrency=(1, 8)) \
+                              concurrency=(1, 8), num_cpus=0.5) \
         .filter(expr=f"cluster in {wanted}")
     partial = bucketed.map_batches(
         _IvfScoreStage, fn_constructor_kwargs=dict(
             qref=qref, k=k, id_col=id_col, vec_col=vec_col),
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
+        num_cpus=0.5)
     return partial.groupby("q_id").map_groups(_final_topk(k),
                                               batch_format="pandas")
 
@@ -389,7 +392,7 @@ def lsh_knn(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 10,
     bucketed = ds.map_batches(
         _LshStage, fn_constructor_kwargs=dict(
             planes_ref=planes_ref, id_col=id_col, vec_col=vec_col),
-        batch_format="pyarrow", concurrency=(1, 8))
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5)
     probed = bucketed.filter(expr=f"bucket in {wanted}")
     qref = ray.put({"qids": np.asarray(query_ids, np.int64),
                     "mat": query_mat, "buckets": qbucket})
@@ -397,6 +400,7 @@ def lsh_knn(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 10,
         _BruteForceStage, fn_constructor_kwargs=dict(
             qref=qref, k=k, id_col=id_col, vec_col=vec_col,
             bucket_col="bucket"),
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
+        num_cpus=0.5)
     return partial.groupby("q_id").map_groups(_final_topk(k),
                                               batch_format="pandas")

@@ -246,6 +246,7 @@ def induced_rescore(run_ds, index_dir: str, queries: dict[str, str],
     qref = ray.put(dict(queries))
     return run_ds.groupby("qid").map_groups(
         InducedRescoreStage, batch_format="pandas", concurrency=concurrency,
+        num_cpus=0.5,
         fn_constructor_kwargs=dict(index_dir=index_dir, queries_ref=qref,
                                    lam=lam))
 
@@ -254,6 +255,7 @@ def sparsevec_topdocs(run_ds, index_dir: str, k: int = 10,
                       concurrency=(1, 4), **kw):
     return run_ds.groupby("qid").map_groups(
         SparseVecTopDocsStage, batch_format="pandas", concurrency=concurrency,
+        num_cpus=0.5,
         fn_constructor_kwargs=dict(index_dir=index_dir, k=k, **kw))
 
 
@@ -389,6 +391,7 @@ def srlm_fit(rel_pairs_ds, index_dir: str, queries: dict[str, str],
     qref = ray.put(dict(queries))
     contrib = rel_pairs_ds.groupby("qid").map_groups(
         _SrlmFitStage, batch_format="pandas", concurrency=concurrency,
+        num_cpus=0.5,
         fn_constructor_kwargs=dict(index_dir=index_dir, queries_ref=qref))
     agg = contrib.groupby(["qterm", "term"]).aggregate(
         Sum("c", alias_name="wt")).to_pandas()
@@ -460,6 +463,7 @@ def srlm_rerank_pipeline(run_ds, index_dir: str, queries: dict[str, str],
     dref = ray.put(model.dists)
     return run_ds.groupby("qid").map_groups(
         _SrlmRerankStage, batch_format="pandas", concurrency=concurrency,
+        num_cpus=0.5,
         fn_constructor_kwargs=dict(index_dir=index_dir, queries_ref=qref,
                                    dists_ref=dref, top_k=top_k,
                                    round_to=round_to))
@@ -517,6 +521,7 @@ def rocchio_pipeline(run_ds, index_dir: str, queries: dict[str, str],
     run_ds = run_ds.union(ph)
     return run_ds.groupby("qid").map_groups(
         _RocchioStage, batch_format="pandas", concurrency=concurrency,
+        num_cpus=0.5,
         fn_constructor_kwargs=dict(index_dir=index_dir, queries_ref=qref,
                                    rel_ref=rref, top_k=top_k,
                                    round_to=round_to))
@@ -529,6 +534,7 @@ def feedback_rerank(run_ds, index_dir: str, queries: dict[str, str],
     qref = ray.put(dict(queries))
     return run_ds.groupby("qid").map_groups(
         FeedbackRerankStage, batch_format="pandas", concurrency=concurrency,
+        num_cpus=0.5,
         fn_constructor_kwargs=dict(index_dir=index_dir, queries_ref=qref,
                                    model=model, num_top_docs=num_top_docs,
                                    round_to=round_to))
@@ -541,6 +547,7 @@ def expand_queries(run_ds, index_dir: str, queries: dict[str, str],
     qref = ray.put(dict(queries))
     return run_ds.groupby("qid").map_groups(
         ExpandQueryStage, batch_format="pandas", concurrency=concurrency,
+        num_cpus=0.5,
         fn_constructor_kwargs=dict(index_dir=index_dir, queries_ref=qref,
                                    model=model, num_terms=num_terms, fb=fb,
                                    round_to=round_to))
@@ -553,5 +560,6 @@ def qpp_estimates(run_ds, index_dir: str, queries: dict[str, str], k: int = 50,
     qref = ray.put(dict(queries))
     return run_ds.groupby("qid").map_groups(
         QPPStage, batch_format="pandas", concurrency=concurrency,
+        num_cpus=0.5,
         fn_constructor_kwargs=dict(index_dir=index_dir, queries_ref=qref,
                                    k=k, methods=methods))

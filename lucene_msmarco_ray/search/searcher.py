@@ -383,7 +383,8 @@ class SearchStage:
 
 def retrieve(queries_ds, index_dir: str, *, scorer: str = "bm25", k: int = 1000,
              concurrency: int | tuple[int, int] = (1, 8), batch_size: int = 64,
-             preload: bool = False, algo: str = "auto", **scorer_kw):
+             preload: bool = False, algo: str = "auto",
+             actor_num_cpus: float | None = None, **scorer_kw):
     """queries (qid, text) → run dataset (qid, doc_id, rank, score).
 
     ``concurrency`` sizes the searcher actor pool (callable class ⇒ actors;
@@ -400,4 +401,5 @@ def retrieve(queries_ds, index_dir: str, *, scorer: str = "bm25", k: int = 1000,
         fn_constructor_kwargs=dict(index_dir=index_dir, scorer=scorer, k=k,
                                    preload=preload, algo=algo, **scorer_kw),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        concurrency=concurrency,
+        **({"num_cpus": actor_num_cpus} if actor_num_cpus else {}))
