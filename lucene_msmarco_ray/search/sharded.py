@@ -12,11 +12,12 @@ salt_docs_per_bucket`` — a doc shard IS a salt bucket, so a shard reader
 loads only its ``salt=B`` directories (directory-level pruning, no
 filtering reads).
 
-Correctness: BM25/LM scores use GLOBAL collection statistics (N, avgdl,
-per-term df/cf summed across runs — broadcast once as a small columnar
-table), and a document's score is a sum of per-term contributions evaluated
-identically in every shard, so sharded results are IDENTICAL to the
-single-reader path including tie-breaks (test-enforced).
+Correctness: BM25/LM scores use GLOBAL collection statistics — N/avgdl
+from stats.json, per-term df/cf summed across salt runs and fetched
+per-actor with a term-filtered metadata read (footprint O(query terms),
+never the whole vocabulary) — and a document's score is a sum of per-term
+contributions evaluated identically in every shard, so sharded results are
+IDENTICAL to the single-reader path including tie-breaks (test-enforced).
 
 Dataflow::
 
@@ -38,7 +39,6 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import ray
 
 from ..analysis import get_analyzer
 from ..index.build import pads_dirs
@@ -47,14 +47,34 @@ from .scoring import make_scorer
 from .searcher import _topk_exact
 
 
-def _global_term_stats(index_dir: str) -> dict[str, tuple[int, int]]:
-    """term → (global df, global cf): metadata columns only, no postings."""
-    seg = os.path.join(index_dir, "segments")
-    t = pads_dirs([seg]).to_table(columns=["term", "df", "cf"]) \
-        .group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
-    return {w: (int(d), int(c)) for w, d, c in
-            zip(t["term"].to_pylist(), t["df_sum"].to_pylist(),
-                t["cf_sum"].to_pylist())}
+class _GlobalTermStats:
+    """Lazy per-actor cache of GLOBAL (df, cf) per term — fetched with a
+    term-filtered read over the segments METADATA columns only (no posting
+    bytes leave storage). Scale note: this replaces a round-2-draft design
+    that broadcast the whole vocabulary as a Python dict (wrong at web
+    scale); here the footprint is O(query terms seen by this actor)."""
+
+    def __init__(self, index_dir: str):
+        self.seg = os.path.join(index_dir, "segments")
+        self._cache: dict[str, tuple[int, int] | None] = {}
+
+    def fetch(self, terms: list[str]) -> None:
+        import pyarrow.compute as pc
+        missing = sorted({t for t in terms if t not in self._cache})
+        if not missing:
+            return
+        t = pads_dirs([self.seg]).to_table(
+            columns=["term", "df", "cf"],
+            filter=pc.field("term").isin(missing)) \
+            .group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+        for w, d, c in zip(t["term"].to_pylist(), t["df_sum"].to_pylist(),
+                           t["cf_sum"].to_pylist()):
+            self._cache[w] = (int(d), int(c))
+        for w in missing:
+            self._cache.setdefault(w, None)
+
+    def get(self, term: str):
+        return self._cache.get(term)
 
 
 def _salt_dirs(index_dir: str, salt: int) -> list[str]:
@@ -74,14 +94,13 @@ class _ShardSearch:
 
     __name__ = "shard_search"
 
-    def __init__(self, index_dir: str, stats_ref, k: int, scorer: str,
+    def __init__(self, index_dir: str, k: int, scorer: str,
                  scorer_kw: dict):
         self.index_dir = index_dir
         st_path = os.path.join(index_dir, "stats.json")
         with open(st_path) as f:
             self.stats = json.load(f)
-        g = ray.get(stats_ref)
-        self.gdf = g["df"]
+        self.gdf = _GlobalTermStats(index_dir)
         self.num_docs = int(self.stats["num_docs"])
         self.avgdl = float(self.stats["avgdl"])
         self.total_len = int(self.stats["total_len"])
@@ -137,9 +156,11 @@ class _ShardSearch:
         acc = np.zeros(dl.size, np.float64)
         matched = np.zeros(dl.size, bool)
         out_q, out_d, out_s = [], [], []
-        for qid, text in zip(g["qid"], g["text"]):
-            qterms = {t: float(c) for t, c in
-                      Counter(self.analyzer(text)).items()}
+        analyzed = [(qid, {t: float(c) for t, c in
+                           Counter(self.analyzer(text)).items()})
+                    for qid, text in zip(g["qid"], g["text"])]
+        self.gdf.fetch([t for _, q in analyzed for t in q])
+        for qid, qterms in analyzed:
             hit = False
             for term, boost in qterms.items():
                 p = postings.get(term)
@@ -194,7 +215,6 @@ def retrieve_sharded(queries_ds, index_dir: str, *, scorer: str = "bm25",
     with open(os.path.join(index_dir, "stats.json")) as f:
         st = json.load(f)
     n_salt = int(st.get("n_salt", 1))
-    stats_ref = ray.put({"df": _global_term_stats(index_dir)})
 
     def replicate(row: dict) -> list[dict]:
         return [{"qid": str(row["qid"]), "text": row["text"], "salt": s}
@@ -203,7 +223,7 @@ def retrieve_sharded(queries_ds, index_dir: str, *, scorer: str = "bm25",
     pairs = queries_ds.flat_map(replicate)
     partial = pairs.groupby("salt").map_groups(
         _ShardSearch, batch_format="pandas", concurrency=concurrency,
-        fn_constructor_kwargs=dict(index_dir=index_dir, stats_ref=stats_ref,
+        fn_constructor_kwargs=dict(index_dir=index_dir,
                                    k=k, scorer=scorer, scorer_kw=scorer_kw))
     return partial.groupby("qid").map_groups(_merge_topk(k),
                                              batch_format="pandas")
