@@ -34,7 +34,11 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build")
-    b.add_argument("--corpus", required=True, help="parquet file/dir (input_hint schema)")
+    b.add_argument("--corpus", required=True,
+                   help="parquet file/dir (input_hint schema) or TSV "
+                        "docid\\ttext collection (--format tsv)")
+    b.add_argument("--format", default="parquet",
+                   choices=["parquet", "tsv"])
     b.add_argument("--index", required=True)
     b.add_argument("--analyzer", default="english",
                    choices=["english", "whitespace", "simple"])
@@ -84,8 +88,14 @@ def main(argv: list[str] | None = None) -> int:
         from .index.build import build_index
         from .sources.corpus import read_code_corpus
         cfg = EngineConfig(analyzer=args.analyzer, num_shards=args.num_shards)
-        ds = read_code_corpus(args.corpus, columns=[args.text_col])
-        stats = build_index(ds, args.index, cfg, text_col=args.text_col,
+        if args.format == "tsv":
+            from .sources.corpus import read_tsv_corpus
+            ds = read_tsv_corpus(args.corpus)
+            text_col = "content"
+        else:
+            ds = read_code_corpus(args.corpus, columns=[args.text_col])
+            text_col = args.text_col
+        stats = build_index(ds, args.index, cfg, text_col=text_col,
                             id_col="doc_id", key_col="doc_key",
                             resume=not args.no_resume)
         print(json.dumps(stats))

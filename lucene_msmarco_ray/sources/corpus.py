@@ -80,6 +80,81 @@ class _ReadRowGroup:
         return pa.concat_tables(out)
 
 
+def tsv_file_plan(paths: str | list[str]) -> list[dict]:
+    """One descriptor per TSV file with its global line offset. Line counts
+    come from one parallel counting pass (newline scan per file) — the
+    price of dense deterministic ids over a format with no row metadata;
+    Parquet corpora get this from footers for free (corpus_file_plan)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(glob.glob(os.path.join(p, "**", "*.tsv"),
+                                   recursive=True))
+        else:
+            files.append(p)
+    files = sorted(files)
+
+    def count_lines(batch: pa.Table) -> pa.Table:
+        ns = []
+        for f in batch["file"].to_pylist():
+            n = 0
+            with open(f, "rb") as fh:
+                while chunk := fh.read(1 << 22):
+                    n += chunk.count(b"\n")
+                    last = chunk
+            if n or last:
+                if not last.endswith(b"\n"):
+                    n += 1                      # unterminated final line
+            ns.append(n)
+        return pa.table({"file": batch["file"], "rows": pa.array(ns)})
+
+    counts = rd.from_items([{"file": f} for f in files],
+                           override_num_blocks=max(1, len(files))) \
+        .map_batches(count_lines, batch_format="pyarrow", batch_size=1) \
+        .to_pandas().set_index("file")["rows"]
+    plan, base = [], 0
+    for f in files:
+        n = int(counts[f])
+        plan.append({"file": f, "base": base, "rows": n})
+        base += n
+    return plan
+
+
+class _ReadTsvFile:
+    """One TSV file (``docid \\t text``, the reference's MSMARCO format —
+    MsMarcoIndexer.java:67-80) → (docid, content, doc_id, doc_key)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            with open(row["file"], encoding="utf-8") as fh:
+                lines = fh.read().splitlines()
+            pairs = [ln.split("\t", 1) for ln in lines]
+            docid = pa.array([p[0] for p in pairs], pa.string())
+            text = pa.array([p[1] if len(p) > 1 else "" for p in pairs],
+                            pa.string())
+            ids = pa.array(row["base"]
+                           + np.arange(len(lines), dtype=np.int64))
+            out.append(pa.table({"docid": docid, "content": text,
+                                 "doc_id": ids, "doc_key": docid}))
+        return pa.concat_tables(out)
+
+
+def read_tsv_corpus(paths: str | list[str]) -> rd.Dataset:
+    """S1's TSV side: the reference's ``docid \\t text`` collection files →
+    Dataset(docid, content, doc_id, doc_key) with deterministic dense ids
+    (global line order over the lexicographically sorted file list) —
+    identical at any parallelism, like the parquet reader."""
+    plan = tsv_file_plan(paths)
+    if not plan:
+        raise FileNotFoundError(f"no TSV files under {paths!r}")
+    ds = rd.from_items(plan, override_num_blocks=len(plan))
+    return ds.map_batches(_ReadTsvFile(), batch_size=1,
+                          batch_format="pyarrow", num_cpus=0.99)
+
+
 def read_code_corpus(paths: str | list[str], columns: list[str] | None = None,
                      key_cols: tuple[str, str, str] = ("repo", "path", "commit"),
                      ) -> rd.Dataset:

@@ -123,3 +123,42 @@ def test_partitioned_resume(ray_session, corpus_files, tmp_path):
     # the resumed index answers queries over ALL docs
     r = IndexReader(out)
     assert r.num_docs == total
+
+
+def test_tsv_corpus_reader(ray_session, tmp_path):
+    """S1 TSV side: dense deterministic ids across files and parallelism;
+    tab-less and multi-tab lines survive."""
+    import numpy as np
+
+    from lucene_msmarco_ray.sources.corpus import read_tsv_corpus
+    (tmp_path / "b.tsv").write_text("d3\tthird doc\nd4\tfour\tkeeps tabs\n")
+    (tmp_path / "a.tsv").write_text("d1\tfirst doc text\nd2\n")  # d2: no text
+    df = read_tsv_corpus(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # files sorted lexicographically → a.tsv rows first
+    assert df["docid"].tolist() == ["d1", "d2", "d3", "d4"]
+    assert df["doc_id"].tolist() == [0, 1, 2, 3]
+    assert df["content"].tolist() == ["first doc text", "",
+                                      "third doc", "four\tkeeps tabs"]
+    assert df["doc_key"].tolist() == df["docid"].tolist()
+
+
+def test_tsv_corpus_index_roundtrip(ray_session, tmp_path):
+    """A reference user's TSV collection indexes end-to-end."""
+    from collections import Counter
+
+    from lucene_msmarco_ray.config import EngineConfig
+    from lucene_msmarco_ray.index.build import build_index
+    from lucene_msmarco_ray.search.searcher import IndexReader
+    from lucene_msmarco_ray.sources.corpus import read_tsv_corpus
+    (tmp_path / "c.tsv").write_text(
+        "p0\tthe quick fox\np1\tquick quick lazy dog\n")
+    ds = read_tsv_corpus(str(tmp_path / "c.tsv"))
+    out = str(tmp_path / "idx")
+    stats = build_index(ds, out, EngineConfig(analyzer="simple", num_shards=2),
+                        text_col="content", id_col="doc_id",
+                        key_col="docid")
+    assert stats["num_docs"] == 2
+    r = IndexReader(out)
+    assert r.df("quick") == 2
+    assert r.term_vectors([1])[1] == dict(Counter("quick quick lazy dog".split()))
