@@ -70,6 +70,28 @@ def _ensure_index(sf_dir: str) -> str:
     return out
 
 
+def _ensure_salted_index(sf_dir: str) -> str:
+    """Gate index variant with small doc-range salt buckets so the
+    doc-partitioned sharded search path has REAL shards to exercise
+    (500 fixture docs / 128 → 4 doc shards)."""
+    key = sf_dir + "#salted"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    import ray.data as rd
+
+    from lucene_msmarco_ray.config import EngineConfig
+    from lucene_msmarco_ray.index.build import build_index, file_lineage
+    out = _index_dir_for(sf_dir) + "_salted"
+    cfg = EngineConfig(analyzer="simple", num_shards=8,
+                       salt_docs_per_bucket=128)
+    src = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(src, columns=["doc_id", "text"])
+    build_index(ds, out, cfg, text_col="text", id_col="doc_id",
+                input_lineage=file_lineage([src]))
+    _INDEX_CACHE[key] = out
+    return out
+
+
 def _queries_ds():
     import ray.data as rd
     return rd.from_items([{"qid": q, "text": t} for q, t in GATE_QUERIES])
@@ -887,6 +909,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def bm25_topk(sf_dir: str):
         return _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
 
+    def bm25_topk_sharded(sf_dir: str):
+        """Doc-partitioned sharded retrieval over a 4-shard salted index —
+        must equal the single-reader BM25 oracle exactly."""
+        import pandas as pd
+
+        from lucene_msmarco_ray.search.sharded import retrieve_sharded
+        idx = _ensure_salted_index(sf_dir)
+        run = retrieve_sharded(_queries_ds(), idx, scorer="bm25", k=_K,
+                               k1=0.7, b=0.3, concurrency=(1, 2),
+                               actor_num_cpus=0.5)
+
+        def rr(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.copy()
+            g["score"] = g["score"].round(6)
+            g = g.sort_values(["score", "doc_id"], ascending=[False, True],
+                              kind="mergesort").head(_K)
+            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            return g[["qid", "doc_id", "rank", "score"]]
+
+        rr.__name__ = "rerank_rounded"
+        return run.groupby("qid").map_groups(rr, batch_format="pandas")
+
     def bm25_topk_ref_params(sf_dir: str):
         return _rounded_run(sf_dir, "bm25", k1=1.2, b=0.75)
 
@@ -1210,6 +1254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats": term_stats,
         "doc_stats": doc_stats,
         "bm25_topk": bm25_topk,
+        "bm25_topk_sharded": bm25_topk_sharded,
         "bm25_topk_ref_params": bm25_topk_ref_params,
         "lmdir_topk": lmdir_topk,
         "minmax_norm": minmax_norm,
@@ -1266,6 +1311,7 @@ FROM toks2 GROUP BY term""",
 SELECT doc_id, count(*)::BIGINT AS doc_len FROM toks2 GROUP BY doc_id""",
 
         "bm25_topk": _bm25_sql(0.7, 0.3),
+        "bm25_topk_sharded": _bm25_sql(0.7, 0.3),
         "bm25_topk_ref_params": _bm25_sql(1.2, 0.75),
         "lmdir_topk": _lmdir_sql(1000.0),
         "minmax_norm": _minmax_sql(0.7, 0.3),

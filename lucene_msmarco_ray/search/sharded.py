@@ -207,7 +207,8 @@ def _merge_topk(k: int):
 
 
 def retrieve_sharded(queries_ds, index_dir: str, *, scorer: str = "bm25",
-                     k: int = 1000, concurrency=(1, 8), **scorer_kw):
+                     k: int = 1000, concurrency=(1, 8),
+                     actor_num_cpus: float | None = None, **scorer_kw):
     """Doc-partitioned retrieval → run dataset (qid, doc_id, rank, score);
     identical results to :func:`search.searcher.retrieve` (test-enforced).
     Parallelism axis = doc shards (n_salt); use the query-partitioned path
@@ -224,6 +225,7 @@ def retrieve_sharded(queries_ds, index_dir: str, *, scorer: str = "bm25",
     partial = pairs.groupby("salt").map_groups(
         _ShardSearch, batch_format="pandas", concurrency=concurrency,
         fn_constructor_kwargs=dict(index_dir=index_dir,
-                                   k=k, scorer=scorer, scorer_kw=scorer_kw))
+                                   k=k, scorer=scorer, scorer_kw=scorer_kw),
+        **({"num_cpus": actor_num_cpus} if actor_num_cpus else {}))
     return partial.groupby("qid").map_groups(_merge_topk(k),
                                              batch_format="pandas")
