@@ -119,3 +119,44 @@ def test_minhash_pairs_symmetric_dupes(ray_session):
     ], override_num_blocks=3)
     out = minhash_lsh_candidates(ds).to_pandas()
     assert [(r.doc_a, r.doc_b) for r in out.itertuples()] == [(1, 2)]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    min_size=0, max_size=25), min_size=1, max_size=30))
+def test_poly_hashes_property(strings):
+    """Vectorized fold == scalar fold for arbitrary unicode strings."""
+    h, lens = _poly_hashes(strings, HASH_BASE)
+    assert [int(x) for x in h] == [poly_hash_str(s) for s in strings]
+    assert lens.tolist() == [len(s) for s in strings]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=6),
+                         min_size=0, max_size=12),
+                min_size=1, max_size=10),
+       st.integers(min_value=1, max_value=4))
+def test_gram_hashes_property(docs, k):
+    """Composed window hashes == direct hashes of the joined gram strings
+    for arbitrary token lists and window sizes."""
+    flat = [t for d in docs for t in d]
+    cnt = np.fromiter((len(d) for d in docs), np.int64, len(docs))
+    th, tl = _poly_hashes(flat, HASH_BASE)
+    grams, per_doc = _gram_hashes(th, tl, cnt, k)
+    exp = []
+    exp_cnt = []
+    for d in docs:
+        if not d:
+            exp_cnt.append(0)
+            continue
+        gs = ([" ".join(d[i:i + k]) for i in range(len(d) - k + 1)]
+              if len(d) >= k else [" ".join(d)])
+        exp.extend(poly_hash_str(g) for g in gs)
+        exp_cnt.append(len(gs))
+    assert per_doc.tolist() == exp_cnt
+    assert [int(x) for x in grams] == exp
