@@ -100,7 +100,8 @@ def run_bench() -> dict:
     # metric is corpus build+search throughput on identical input)
     gate_names = () if os.environ.get("GRAFT_SKIP_GATE") else (
         "bm25_topk", "term_stats", "dedup_exact", "token_count",
-        "ann_bruteforce", "minhash_pairs")
+        "ann_bruteforce", "minhash_pairs", "simhash_pairs", "ann_ivf",
+        "lm_doc_weights", "sessionize", "asof_join")
     import __ray_entry__ as e
     sys.modules.setdefault("__ray_entry__", e)
     qmap = e.queries()
