@@ -226,17 +226,16 @@ def _assign_clusters(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1)          # first min → smallest cluster id
 
 
-class _KmeansAssignStage:
+def _kmeans_assign_partials(cents_ref, vec_col: str):
     """One k-means iteration's map side: per-batch partial sums
-    (cluster, Σvec, count) — the combiner that keeps the groupby tiny."""
+    (cluster, Σvec, count) — the combiner that keeps the groupby tiny.
+    A plain task fn (no actor pool spin-up per iteration); the centroid
+    ref resolves from the local object store per batch (tiny, zero-copy)."""
 
-    def __init__(self, cents_ref, id_col: str, vec_col: str):
-        self.cents = ray.get(cents_ref)
-        self.id_col, self.vec_col = id_col, vec_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = _batch_matrix(batch, self.vec_col)
-        a = _assign_clusters(mat, self.cents)
+    def f(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        mat = _batch_matrix(batch, vec_col)
+        a = _assign_clusters(mat, cents)
         sums, counts, clusters = [], [], []
         for c in np.unique(a):
             sel = a == c
@@ -248,6 +247,9 @@ class _KmeansAssignStage:
             "vsum": pa.array([s.tolist() for s in sums],
                              pa.list_(pa.float64())),
             "n": pa.array(counts, pa.int64())})
+
+    f.__name__ = "kmeans_assign"
+    return f
 
 
 def kmeans_fit(ds, n_clusters: int, n_iters: int = 2,
@@ -267,9 +269,8 @@ def kmeans_fit(ds, n_clusters: int, n_iters: int = 2,
     for _ in range(n_iters):
         cref = ray.put(cents)
         parts = ds.map_batches(
-            _KmeansAssignStage, fn_constructor_kwargs=dict(
-                cents_ref=cref, id_col=id_col, vec_col=vec_col),
-            batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5).to_pandas()
+            _kmeans_assign_partials(cref, vec_col),
+            batch_format="pyarrow").to_pandas()
         new = cents.copy()
         for c, g in parts.groupby("cluster"):
             tot = np.sum(np.stack([np.asarray(v) for v in g["vsum"]]), axis=0)
@@ -317,14 +318,9 @@ def ivf_knn(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 10,
         centroids = kmeans_fit(ds, n_clusters, n_iters, id_col, vec_col)
     cref = ray.put(centroids)
 
-    class _AddCluster:
-        def __init__(self):
-            self.cents = ray.get(cref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = _assign_clusters(_batch_matrix(batch, vec_col), self.cents)
-            return batch.append_column("cluster",
-                                       pa.array(a.astype(np.int64)))
+    def _add_cluster(batch: pa.Table) -> pa.Table:
+        a = _assign_clusters(_batch_matrix(batch, vec_col), ray.get(cref))
+        return batch.append_column("cluster", pa.array(a.astype(np.int64)))
 
     d2 = np.round(((query_mat[:, None, :] - centroids[None, :, :]) ** 2)
                   .sum(axis=2), 9)
@@ -332,8 +328,7 @@ def ivf_knn(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 10,
     wanted = sorted({int(c) for row in probes for c in row})
     qref = ray.put({"qids": np.asarray(query_ids, np.int64),
                     "mat": query_mat, "probes": probes.astype(np.int64)})
-    bucketed = ds.map_batches(_AddCluster, batch_format="pyarrow",
-                              concurrency=(1, 8), num_cpus=0.5) \
+    bucketed = ds.map_batches(_add_cluster, batch_format="pyarrow") \
         .filter(expr=f"cluster in {wanted}")
     partial = bucketed.map_batches(
         _IvfScoreStage, fn_constructor_kwargs=dict(
