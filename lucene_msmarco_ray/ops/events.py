@@ -139,6 +139,17 @@ def asof_join(left_ds, right_ds, by_col: str, ts_col: str,
     lds = left_ds.map_batches(align(0, {}), batch_format="pyarrow")
     rds = right_ds.map_batches(align(1, right_cols), batch_format="pyarrow")
 
+    # Declared output schema: merge_asof runs in pandas, where unmatched
+    # left rows put NaN into right-side int columns and widen them to
+    # float64 (partition-dependent dtypes → schema-unstable blocks). Every
+    # partition therefore rebuilds its output against THIS schema, with
+    # NaN→null (same typed-null discipline as ops.join.bucketed_hash_join).
+    out_fields = [pa.field(by_col, pa.int64())]
+    out_fields += [pa.field(c, lschema.field(c).type) for c in left_cols]
+    out_fields += [pa.field(o, rschema.field(c).type)
+                   for c, o in right_cols.items()]
+    out_schema = pa.schema(out_fields)
+
     def part_of(batch: pa.Table) -> pa.Table:
         u = batch[by_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         p = (_mix64(u) % np.uint64(_NUM_PARTS)).astype(np.int64)
@@ -146,17 +157,21 @@ def asof_join(left_ds, right_ds, by_col: str, ts_col: str,
 
     both = lds.union(rds).map_batches(part_of, batch_format="pyarrow")
 
-    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+    def join_part(g: pd.DataFrame) -> pa.Table:
         lg = g[g["__side"] == 0][[by_col, "__ts"] + left_cols] \
             .sort_values(["__ts", by_col], kind="mergesort")
         rg = g[g["__side"] == 1][[by_col, "__ts"] + out_right] \
             .sort_values(["__ts", by_col], kind="mergesort")
         if lg.empty:
-            return pd.DataFrame(columns=[by_col] + left_cols + out_right)
+            return out_schema.empty_table()
         merged = pd.merge_asof(lg, rg, on="__ts", by=by_col,
                                direction="backward",
                                allow_exact_matches=True)
-        return merged[[by_col] + left_cols + out_right]
+        # from_pandas=True maps NaN→null, un-widening float64 back to the
+        # declared integer types.
+        cols = [pa.array(merged[f.name], type=f.type, from_pandas=True)
+                for f in out_schema]
+        return pa.Table.from_arrays(cols, schema=out_schema)
 
     join_part.__name__ = "asof_join"
     return both.groupby("__part").map_groups(join_part,
