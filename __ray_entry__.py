@@ -371,6 +371,20 @@ def _roll_sql(col: str, base: int) -> str:
             f"(acc, c) -> (acc * {base} + c) % 2147483647)")
 
 
+def _dedup_exact_sql() -> str:
+    """Independent DuckDB recomputation of exact_dedup's 124-bit content
+    hash: four base-B polynomial rolls (ops/dedup.py CONTENT_HASH_BASES),
+    hex-concatenated exactly like content_hash_hex."""
+    from lucene_msmarco_ray.ops.dedup import CONTENT_HASH_BASES
+    rolls = ", ".join(
+        f"CASE WHEN len(text) = 0 THEN 0 ELSE {_roll_sql('text', b)} END"
+        for b in CONTENT_HASH_BASES)
+    fmt = "%08x" * len(CONTENT_HASH_BASES)
+    return f"""SELECT printf('{fmt}', {rolls}) AS content_hash,
+  min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count
+FROM documents GROUP BY 1"""
+
+
 def _minhash_sql(num_perm: int = 64, bands: int = 16, seed: int = 13) -> str:
     """Independent DuckDB recomputation of minhash_lsh_candidates: same gram
     hashes, same seeded (a,b) permutation constants, same band keys."""
@@ -1316,9 +1330,7 @@ SELECT doc_id, count(*)::BIGINT AS doc_len FROM toks2 GROUP BY doc_id""",
         "lmdir_topk": _lmdir_sql(1000.0),
         "minmax_norm": _minmax_sql(0.7, 0.3),
 
-        "dedup_exact": """SELECT md5(text) AS content_hash,
-  min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count
-FROM documents GROUP BY md5(text)""",
+        "dedup_exact": _dedup_exact_sql(),
 
         "token_count": """SELECT doc_id,
   len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,

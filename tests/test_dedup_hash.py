@@ -160,3 +160,15 @@ def test_gram_hashes_property(docs, k):
         exp_cnt.append(len(gs))
     assert per_doc.tolist() == exp_cnt
     assert [int(x) for x in grams] == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(max_size=200), min_size=1, max_size=20))
+def test_content_hash_hex_property(strings):
+    """Closed-form reduceat hash == scalar fold, per base, hex-formatted."""
+    from lucene_msmarco_ray.ops.dedup import (CONTENT_HASH_BASES,
+                                              content_hash_hex)
+    got = content_hash_hex(strings).to_pylist()
+    exp = ["".join(f"{poly_hash_str(s, b):08x}" for b in CONTENT_HASH_BASES)
+           for s in strings]
+    assert got == exp
