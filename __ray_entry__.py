@@ -761,6 +761,147 @@ UNION ALL SELECT method, 'kendall', round(kv, 6) FROM kend
 UNION ALL SELECT method, 'sare', round(sv, 6) FROM sare"""
 
 
+def _stochastic_qpp_sql(k1: float, b: float, k: int = 50,
+                        num_samples: int = 5) -> str:
+    """stochastic_qpp_evaluation oracle: replay the deterministic rank-swap
+    arithmetic (qpp/stochastic.perm_index — identity at 0, else sorted
+    (rel rank × nonrel rank) enumeration with rank 0 always rel-eligible),
+    recompute per-(qid, sample) AP and NQC on the perturbed lists, then
+    per-sample Kendall tau-b and SARE plus deltas vs the unperturbed run."""
+    return _ranked_cte(k1, b) + f""",
+pos0 AS (SELECT qid, doc_id, rank - 1 AS pos, score,
+                CASE WHEN (doc_id * 7 + CAST(qid AS INT) * 13) % 4 >= 2
+                     THEN 1 ELSE 0 END AS isrel
+         FROM ranked),
+relp AS (SELECT qid, pos,
+                row_number() OVER (PARTITION BY qid ORDER BY pos) AS rn
+         FROM pos0 WHERE isrel = 1 OR pos = 0),
+nonp AS (SELECT qid, pos,
+                row_number() OVER (PARTITION BY qid ORDER BY pos) AS rn
+         FROM pos0 WHERE isrel = 0),
+cnt2 AS (SELECT q.qid, coalesce(r.c, 0) AS nr, coalesce(n.c, 0) AS nn
+         FROM (SELECT DISTINCT qid FROM pos0) q
+         LEFT JOIN (SELECT qid, count(*) AS c FROM relp GROUP BY 1) r
+           ON r.qid = q.qid
+         LEFT JOIN (SELECT qid, count(*) AS c FROM nonp GROUP BY 1) n
+           ON n.qid = q.qid),
+pick AS (SELECT c.qid, sm.s,
+                ((CAST(c.qid AS BIGINT) % 2147483647 + 1) * 1315423911
+                 + (sm.s + 1) * 2654435761) % 2147483647
+                  % (1 + c.nr * c.nn) AS idx,
+                c.nn
+         FROM cnt2 c
+         CROSS JOIN (SELECT unnest(range({num_samples})) AS s) sm),
+swp AS (SELECT p.qid, p.s, r.pos AS rpos, n.pos AS npos
+        FROM pick p
+        JOIN relp r ON r.qid = p.qid AND r.rn = (p.idx - 1) // p.nn + 1
+        JOIN nonp n ON n.qid = p.qid AND n.rn = (p.idx - 1) % p.nn + 1
+        WHERE p.idx > 0),
+pert AS (
+  SELECT pk.qid, pk.s, p0.pos + 1 AS rank,
+         CASE WHEN p0.pos = sw.rpos THEN pn.doc_id
+              WHEN p0.pos = sw.npos THEN pr.doc_id
+              ELSE p0.doc_id END AS doc_id,
+         CASE WHEN p0.pos = sw.rpos THEN pn.score
+              WHEN p0.pos = sw.npos THEN pr.score
+              ELSE p0.score END AS score
+  FROM pick pk
+  JOIN pos0 p0 ON p0.qid = pk.qid
+  LEFT JOIN swp sw ON sw.qid = pk.qid AND sw.s = pk.s
+  LEFT JOIN pos0 pr ON pr.qid = pk.qid AND pr.pos = sw.rpos
+  LEFT JOIN pos0 pn ON pn.qid = pk.qid AND pn.pos = sw.npos),
+tot2 AS (SELECT qq.qid,
+                sum(CASE WHEN (d.doc_id * 7 + CAST(qq.qid AS INT) * 13) % 4
+                         >= 2 THEN 1 ELSE 0 END)::DOUBLE AS total_rel
+         FROM (SELECT DISTINCT qid FROM ranked) qq
+         CROSS JOIN documents d GROUP BY 1),
+phits AS (SELECT qid, s, rank,
+                 row_number() OVER (PARTITION BY qid, s ORDER BY rank)
+                   AS nrel
+          FROM pert WHERE (doc_id * 7 + CAST(qid AS INT) * 13) % 4 >= 2),
+paps AS (SELECT qid, s, sum(nrel / rank::DOUBLE) AS v
+         FROM phits GROUP BY 1, 2),
+pevalq AS (SELECT pk.qid, pk.s,
+                  round(coalesce(a.v, 0) / t.total_rel, 6) AS ap
+           FROM pick pk
+           JOIN tot2 t ON t.qid = pk.qid
+           LEFT JOIN paps a ON a.qid = pk.qid AND a.s = pk.s),
+qterms AS (SELECT DISTINCT qid, term FROM qv),
+qidf2 AS (SELECT qt.qid, avg(ln(s.n / coalesce(df.df, 1))) AS avg_idf_nqc
+          FROM qterms qt LEFT JOIN df ON df.term = qt.term
+          CROSS JOIN stats s GROUP BY 1),
+pv2 AS (SELECT qid, s, var_pop(score) AS vp FROM pert
+        WHERE rank <= {k} GROUP BY 1, 2),
+pest AS (SELECT pv2.qid, pv2.s, round(pv2.vp * q.avg_idf_nqc, 6) AS val
+         FROM pv2 JOIN qidf2 q ON q.qid = pv2.qid),
+pm AS (SELECT e.s, e.qid, ev.ap, e.val,
+              row_number() OVER (PARTITION BY e.s ORDER BY e.qid) AS pos
+       FROM pest e JOIN pevalq ev ON ev.qid = e.qid AND ev.s = e.s),
+pn1 AS (SELECT s, count(*)::DOUBLE AS n FROM pm GROUP BY 1),
+pprs AS (SELECT a.s,
+                sum(CASE WHEN sign(a.ap - b.ap) * sign(a.val - b.val) > 0
+                         THEN 1 ELSE 0 END)::DOUBLE AS conc,
+                sum(CASE WHEN sign(a.ap - b.ap) * sign(a.val - b.val) < 0
+                         THEN 1 ELSE 0 END)::DOUBLE AS disc,
+                sum(CASE WHEN a.ap = b.ap AND a.val <> b.val
+                         THEN 1 ELSE 0 END)::DOUBLE AS ta,
+                sum(CASE WHEN a.val = b.val AND a.ap <> b.ap
+                         THEN 1 ELSE 0 END)::DOUBLE AS tb
+         FROM pm a JOIN pm b ON a.s = b.s AND a.pos < b.pos
+         GROUP BY 1),
+pkend AS (SELECT s, (conc - disc)
+                 / sqrt((conc + disc + ta) * (conc + disc + tb)) AS kv
+          FROM pprs),
+pga AS (SELECT s, pos,
+               row_number() OVER (PARTITION BY s ORDER BY ap, pos) AS r
+        FROM pm),
+pgp AS (SELECT s, pos,
+               row_number() OVER (PARTITION BY s ORDER BY val, pos) AS r
+        FROM pm),
+psare AS (SELECT ga.s, avg(abs(ga.pos - gp.pos) / n1.n) AS sv
+          FROM pga ga JOIN pgp gp ON gp.s = ga.s AND gp.r = ga.r
+          JOIN pn1 n1 ON n1.s = ga.s
+          GROUP BY 1),
+bhits AS (SELECT qid, rank,
+                 row_number() OVER (PARTITION BY qid ORDER BY rank) AS nrel
+          FROM ranked
+          WHERE (doc_id * 7 + CAST(qid AS INT) * 13) % 4 >= 2),
+baps AS (SELECT qid, sum(nrel / rank::DOUBLE) AS v FROM bhits GROUP BY 1),
+bevalq AS (SELECT t.qid, round(coalesce(a.v, 0) / t.total_rel, 6) AS ap
+           FROM tot2 t LEFT JOIN baps a ON a.qid = t.qid),
+bv2 AS (SELECT qid, var_pop(score) AS vp FROM ranked
+        WHERE rank <= {k} GROUP BY 1),
+bm2 AS (SELECT e.qid, ev.ap, round(e.vp * q.avg_idf_nqc, 6) AS val,
+               row_number() OVER (ORDER BY e.qid) AS pos
+        FROM bv2 e JOIN qidf2 q ON q.qid = e.qid
+        JOIN bevalq ev ON ev.qid = e.qid),
+bn1 AS (SELECT count(*)::DOUBLE AS n FROM bm2),
+bprs AS (SELECT
+             sum(CASE WHEN sign(a.ap - b.ap) * sign(a.val - b.val) > 0
+                      THEN 1 ELSE 0 END)::DOUBLE AS conc,
+             sum(CASE WHEN sign(a.ap - b.ap) * sign(a.val - b.val) < 0
+                      THEN 1 ELSE 0 END)::DOUBLE AS disc,
+             sum(CASE WHEN a.ap = b.ap AND a.val <> b.val
+                      THEN 1 ELSE 0 END)::DOUBLE AS ta,
+             sum(CASE WHEN a.val = b.val AND a.ap <> b.ap
+                      THEN 1 ELSE 0 END)::DOUBLE AS tb
+         FROM bm2 a JOIN bm2 b ON a.pos < b.pos),
+bkend AS (SELECT round((conc - disc)
+                 / sqrt((conc + disc + ta) * (conc + disc + tb)), 6) AS kv
+          FROM bprs),
+bga AS (SELECT pos, row_number() OVER (ORDER BY ap, pos) AS r FROM bm2),
+bgp AS (SELECT pos, row_number() OVER (ORDER BY val, pos) AS r FROM bm2),
+bsare AS (SELECT round(avg(abs(ga.pos - gp.pos) / n1.n), 6) AS sv
+          FROM bga ga JOIN bgp gp ON gp.r = ga.r CROSS JOIN bn1 n1)
+SELECT k.s::BIGINT AS sample, 'nqc' AS method, 'kendall' AS corr_metric,
+       round(k.kv, 6) AS value, round(round(k.kv, 6) - bk.kv, 6) AS delta
+FROM pkend k CROSS JOIN bkend bk
+UNION ALL
+SELECT s.s::BIGINT, 'nqc', 'sare',
+       round(s.sv, 6), round(round(s.sv, 6) - bs.sv, 6)
+FROM psare s CROSS JOIN bsare bs"""
+
+
 def _ann_lsh_sql(nbits: int = 6, seed: int = 5, dim: int = 64,
                  k: int = 10) -> str:
     """Independent DuckDB recomputation of lsh_knn: identical seeded
@@ -1194,6 +1335,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          right_cols={"event_id": "view_event"},
                          left_cols=["event_id"])
 
+    def stochastic_qpp(sf_dir: str):
+        """StochasticQPPEvaluation composite (reference:
+        stochastic_qpp/StochasticQPPEvaluation.java:229-264): deterministic
+        rank-swap samples → per-sample AP×NQC tau/SARE + deltas."""
+        from lucene_msmarco_ray.pipelines.experiment import (
+            stochastic_qpp_evaluation,
+        )
+        run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
+        idx = _ensure_index(sf_dir)
+        return stochastic_qpp_evaluation(run, _gate_qrels(sf_dir),
+                                         _gate_query_map(), idx,
+                                         num_samples=5, methods=("nqc",),
+                                         corr_metrics=("kendall", "sare"))
+
     def qpp_correlation(sf_dir: str):
         """§2.11 composite (TRECDLQPPEvaluator surface): per-query AP ×
         QPP estimates → pearson / kendall tau-b / SARE per method."""
@@ -1292,6 +1447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_agg": windowed_agg_gate,
         "asof_join": asof_join_gate,
         "qpp_correlation": qpp_correlation,
+        "stochastic_qpp": stochastic_qpp,
         "qpp_basic": qpp_basic,
         "qpp_sampling": qpp_sampling,
         "fdbk_rerank": fdbk_rerank,
@@ -1439,6 +1595,7 @@ FROM w1 JOIN nrm ON nrm.doc_id = w1.doc_id""",
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "qpp_correlation": _qpp_correlation_sql(0.7, 0.3),
+        "stochastic_qpp": _stochastic_qpp_sql(0.7, 0.3),
         "sessionize": """WITH x AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL

@@ -77,8 +77,11 @@ def run_bench() -> dict:
     idx_dir = f"/tmp/graft_bench_idx_{BENCH_DOCS}_{NUM_CPUS}"
     shutil.rmtree(idx_dir, ignore_errors=True)
     # fixed shard count: the index layout must be identical at every cluster
-    # size or the scaling comparison measures different work
-    cfg = EngineConfig(analyzer="english", num_shards=32)
+    # size or the scaling comparison measures different work.
+    # emit_fwd=False: this corpus never runs the feedback/QPP family, and the
+    # forward-index copy roughly doubles the staged write volume (the r2
+    # build regression); gate indexes keep the default emit_fwd=True.
+    cfg = EngineConfig(analyzer="english", num_shards=32, emit_fwd=False)
 
     from lucene_msmarco_ray.index.build import file_lineage
     t0 = time.time()

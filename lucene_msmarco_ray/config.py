@@ -43,6 +43,11 @@ class EngineConfig:
     # bucket = doc_id // fwd_docs_per_bucket. Sized so one bucket's rows are
     # a comfortable single read (~65k docs × ~60 terms ≈ 4M small rows).
     fwd_docs_per_bucket: int = 1 << 16
+    # Emit the forward index during the build (kind=f rows in the same
+    # tokenize pass / partitioned write). It roughly doubles the staged
+    # write volume; indexes that never run the feedback/QPP family
+    # (term_vectors readers) can turn it off.
+    emit_fwd: bool = True
 
     # --- build ---
     tokenize_batch_size: int = 1024

@@ -231,6 +231,16 @@ def fwd_bucket_dirs(index_dir: str) -> dict[int, list[str]]:
             if entry.startswith("gkey="):
                 b = int(entry.split("=", 1)[1])
                 out.setdefault(b, []).append(os.path.join(pdir, entry))
+    if not out:
+        man_path = os.path.join(index_dir, "manifest.json")
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                params = json.load(f).get("params") or {}
+            if params.get("emit_fwd") is False:
+                raise RuntimeError(
+                    f"index {index_dir} was built with emit_fwd=False — "
+                    "term-vector / feedback operators need a forward index; "
+                    "rebuild with EngineConfig(emit_fwd=True)")
     return out
 
 
@@ -287,10 +297,12 @@ def build_index(
         "num_shards": cfg.num_shards,
         "salt_docs_per_bucket": cfg.salt_docs_per_bucket,
         "fwd_docs_per_bucket": cfg.fwd_docs_per_bucket,
+        "emit_fwd": cfg.emit_fwd,
         "text_col": text_col, "id_col": id_col,
         # bump to invalidate indexes whose on-disk layout predates a change
-        # (2: segments partitioned by (shard, salt) + salt column)
-        "segment_layout": 2,
+        # (2: segments partitioned by (shard, salt) + salt column;
+        #  3: kind=l per-batch lineage summary rows in the staged write)
+        "segment_layout": 3,
     }
     if not resume:
         for sub in ("staged", "segments"):
@@ -326,26 +338,26 @@ def build_index(
         # already governed by the upstream block size (one per row group)
         tok.write_parquet(tmp_dir, partition_cols=["kind", "gkey"])
         os.replace(tmp_dir, part_dir)
-        # lineage: order-independent combination of the per-row content
-        # hashes — XOR is computed per block in parallel, driver only folds
-        # the per-block digests
-        meta_files = expand_parquet_files([os.path.join(part_dir, "kind=m")])
-
-        def _xor_block(batch: pa.Table) -> pa.Table:
-            acc = np.zeros(32, dtype=np.uint8)
-            for h in batch["sha256"].to_pylist():
-                acc ^= np.frombuffer(bytes.fromhex(h), dtype=np.uint8)
-            return pa.table({"xor": pa.array([acc.tobytes()], pa.binary())})
-
-        parts = rd.read_parquet(meta_files, columns=["sha256"]) \
-            .map_batches(_xor_block, batch_format="pyarrow").take_all()
+        # lineage + partition stats from the kind=l summary rows the
+        # tokenize stage emitted (one per batch): the driver folds a few
+        # hundred tiny rows — no re-scan of kind=m. XOR of batch XORs ==
+        # XOR of the per-row hashes (associative/commutative), so the
+        # resulting sha is identical to a row-level fold.
+        lin_files = expand_parquet_files([os.path.join(part_dir, "kind=l")])
         acc = np.zeros(32, dtype=np.uint8)
-        for row in parts:
-            acc ^= np.frombuffer(row["xor"], dtype=np.uint8)
+        nrows = 0
+        dl_total = 0
+        for f in lin_files:
+            t = pq.read_table(f, columns=["sha256", "doc_id", "tf"])
+            for h in t["sha256"].to_pylist():
+                acc ^= np.frombuffer(bytes.fromhex(h), dtype=np.uint8)
+            dl_total += int(t["doc_id"].to_numpy(zero_copy_only=False).sum())
+            nrows += int(t["tf"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64).sum())
         import hashlib as _hashlib
         sha = _hashlib.sha256(acc.tobytes()).hexdigest()
-        nrows = sum(pq.read_metadata(f).num_rows for f in meta_files)
-        man.mark_partition(pid, sha, nrows, [], input_sha=in_sha)
+        man.mark_partition(pid, sha, nrows, [], input_sha=in_sha,
+                           total_len=dl_total)
         man.save()
 
     if any_rebuilt:
@@ -355,16 +367,22 @@ def build_index(
     stage_secs["tokenize"] = round(_time.monotonic() - _t0, 3)
     _t0 = _time.monotonic()
 
-    # ---- global stats (I4) — footer row counts + parallel column sum ----
-    meta_files = expand_parquet_files(_staged_dirs(out_dir, "m"))
-    # footer reads are tiny but numerous; a driver threadpool keeps this
-    # stage from becoming serial dead time at high parallelism (Amdahl)
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=16) as ex:
-        ndocs = sum(ex.map(lambda f: pq.read_metadata(f).num_rows,
-                           meta_files))
-    total_len = int(rd.read_parquet(meta_files, columns=["dl"]).sum("dl")) \
-        if ndocs else 0
+    # ---- global stats (I4) — summed from the manifest's per-partition
+    # (rows, total_len), recorded by the lineage pass: no re-read of the
+    # meta files. Fallback (manifests written before total_len existed):
+    # footer row counts + one parallel column sum.
+    pstats = [man.data["partitions"][pid] for pid, _, _ in partitions]
+    if all("total_len" in p for p in pstats):
+        ndocs = sum(int(p["rows"]) for p in pstats)
+        total_len = sum(int(p["total_len"]) for p in pstats)
+    else:
+        meta_files = expand_parquet_files(_staged_dirs(out_dir, "m"))
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            ndocs = sum(ex.map(lambda f: pq.read_metadata(f).num_rows,
+                               meta_files))
+        total_len = int(rd.read_parquet(meta_files, columns=["dl"]).sum("dl")) \
+            if ndocs else 0
     avgdl = (total_len / ndocs) if ndocs else 0.0
     n_salt = max(1, int(np.ceil(ndocs / cfg.salt_docs_per_bucket))) if ndocs else 1
 

@@ -40,48 +40,108 @@ def qpp_experiment(run_ds, qrels_df: pd.DataFrame, queries: dict[str, str],
     return pd.DataFrame(rows)
 
 
+def perturb_runs(run_ds, qrels_df: pd.DataFrame, num_samples: int,
+                 id_sep: str = "#"):
+    """All ``num_samples`` rank-swap perturbations of every query's ranked
+    list in ONE ``groupby(qid).map_groups`` pass — no driver materialization.
+
+    Each sample applies the single rel↔nonrel swap selected by the
+    deterministic arithmetic ``perm_index`` (qpp.stochastic; identity is
+    always permutation 0), mirroring the reference's RankSwapper enumeration
+    (stochastic_qpp/StochasticQPPEvaluation.java:229-264, RankSwapper.java:
+    34-141) with SQL-reproducible choice instead of unseeded Math.random.
+    → Dataset(qid=f"{{qid}}{id_sep}{{sample}}", sample, doc_id, rank, score);
+    the composite qid lets one downstream metrics/QPP pass treat every
+    (query, sample) as its own group."""
+    import numpy as np
+    import ray
+
+    from ..qpp.stochastic import chosen_swap, perm_index
+
+    rel_map = {str(q): set(g[g["rel"] >= 2]["docid"].astype(int))
+               for q, g in qrels_df.groupby("qid")}
+    relref = ray.put(rel_map)
+
+    def groups(g: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(relref)
+        qid = str(g["qid"].iloc[0])
+        g = g.sort_values("rank")
+        docs = g["doc_id"].to_numpy().astype(np.int64)
+        scores = g["score"].to_numpy().astype(np.float64)
+        n = docs.size
+        rel = m.get(qid, set())
+        isrel = np.fromiter((int(d) in rel for d in docs), bool, n)
+        rel_pos = np.flatnonzero(isrel)
+        if rel_pos.size == 0 or rel_pos[0] != 0:     # TOPDOC_ALWAYS_SWAPPED
+            rel_pos = np.concatenate(([0], rel_pos))
+        nonrel_pos = np.flatnonzero(~isrel)
+        n_perms = 1 + rel_pos.size * nonrel_pos.size
+        ranks = np.arange(1, n + 1, dtype=np.int64)
+        frames = []
+        for s in range(num_samples):
+            d2, s2 = docs.copy(), scores.copy()
+            sw = chosen_swap(rel_pos.size, nonrel_pos.size,
+                             perm_index(qid, s, n_perms))
+            if sw is not None:
+                r, nr = int(rel_pos[sw[0]]), int(nonrel_pos[sw[1]])
+                d2[[r, nr]] = d2[[nr, r]]        # ALLOW_UNSORTED_TOPDOCS:
+                s2[[r, nr]] = s2[[nr, r]]        # (doc, score) move together
+            frames.append(pd.DataFrame({
+                "qid": f"{qid}{id_sep}{s}", "sample": np.int64(s),
+                "doc_id": d2, "rank": ranks, "score": s2}))
+        return pd.concat(frames, ignore_index=True)
+
+    groups.__name__ = "perturb_runs"
+    return run_ds.groupby("qid").map_groups(groups, batch_format="pandas")
+
+
 def stochastic_qpp_evaluation(run_ds, qrels_df: pd.DataFrame,
                               queries: dict[str, str], index_dir: str,
                               num_samples: int = 10,
                               methods: tuple[str, ...] = ("nqc",),
-                              target_metric: str = "ap", k: int = 50
+                              target_metric: str = "ap", k: int = 50,
+                              corr_metrics: tuple[str, ...] = ("kendall",
+                                                               "sare")
                               ) -> pd.DataFrame:
     """StochasticQPPEvaluation: perturb each query's ranked list per sample
-    (rel↔nonrel swaps), recompute QPP, report per-sample tau/SARE deltas vs
-    the unperturbed baseline."""
-    import numpy as np
-    import ray.data as rd
+    (rel↔nonrel swaps), recompute metric + QPP, report per-sample
+    correlations and deltas vs the unperturbed baseline.
 
-    from ..qpp.stochastic import sample_one, sample_permutations
-
+    Dataflow (no whole-run driver materialization — round-2 review):
+    ONE perturbation pass emits all samples under composite qids, then ONE
+    per_query_metrics pass + ONE qpp_estimates pass over the (query, sample)
+    groups; only the tiny per-(sample, qid) arrays reach the driver for the
+    final correlations."""
     base = qpp_experiment(run_ds, qrels_df, queries, index_dir,
-                          target_metric, methods, k)
-    run_df = run_ds.to_pandas() if not isinstance(run_ds, pd.DataFrame) else run_ds
-    rel_map = {}
-    for q, g in qrels_df.groupby("qid"):
-        rel_map[str(q)] = set(g[g["rel"] >= 2]["docid"].astype(int))
-
+                          target_metric, methods, k, corr_metrics)
+    pert = perturb_runs(run_ds, qrels_df, num_samples)
+    # replicate the small sides under the composite qids (broadcast-sized:
+    # qrels × samples and queries × samples)
+    qrels_s = pd.concat(
+        [qrels_df.assign(qid=qrels_df["qid"].astype(str) + f"#{s}")
+         for s in range(num_samples)], ignore_index=True)
+    queries_s = {f"{q}#{s}": t for q, t in queries.items()
+                 for s in range(num_samples)}
+    target = per_query_metrics(pert, qrels_s, cutoffs=(10,)).to_pandas()
+    est = qpp_estimates(pert, index_dir, queries_s, k=k,
+                        methods=methods).to_pandas()
+    merged = target.merge(est, on="qid")
+    split = merged["qid"].str.rsplit("#", n=1, expand=True)
+    merged["qid"] = split[0]
+    merged["sample"] = split[1].astype(int)
+    # per-sample qid-string order — the same stable order qpp_experiment
+    # uses, so SARE position arithmetic matches the baseline's
+    merged = merged.sort_values(["sample", "qid"], kind="mergesort")
     rows = []
-    for s in range(num_samples):
-        perturbed = []
-        for qid, g in run_df.groupby("qid"):
-            g = g.sort_values("rank")
-            topdocs = list(zip(g["doc_id"].astype(int),
-                               g["score"].astype(float)))
-            rel = rel_map.get(str(qid), set())
-            perms = sample_permutations(topdocs, lambda d: d in rel)
-            chosen = sample_one(perms, str(qid), s)
-            for rank, (doc, score) in enumerate(chosen, start=1):
-                perturbed.append({"qid": str(qid), "doc_id": doc,
-                                  "rank": rank, "score": score})
-        pds = rd.from_pandas(pd.DataFrame(perturbed))
-        exp = qpp_experiment(pds, qrels_df, queries, index_dir,
-                             target_metric, methods, k)
-        for _, r in exp.iterrows():
-            b = base[(base.method == r["method"]) &
-                     (base.corr_metric == r["corr_metric"])]["value"].iloc[0]
-            rows.append({"sample": s, "method": r["method"],
-                         "corr_metric": r["corr_metric"],
-                         "value": r["value"],
-                         "delta": round(float(r["value"] - b), 6)})
+    for s, gs in merged.groupby("sample", sort=True):
+        for m in methods:
+            for cm in corr_metrics:
+                fn = METRIC_REGISTRY[cm]
+                v = round(float(fn(gs[target_metric].to_numpy(),
+                                   gs[m].to_numpy())), 6)
+                b = base[(base.method == m) &
+                         (base.corr_metric == cm)]["value"].iloc[0]
+                rows.append({"sample": int(s), "method": m,
+                             "corr_metric": cm, "value": v,
+                             "delta": round(float(v - b), 6)})
     return pd.DataFrame(rows)

@@ -64,6 +64,32 @@ def sample_one(perms: list, qid: str, draw: int) -> list:
     return perms[int(rng.integers(0, len(perms)))]
 
 
+M31 = (1 << 31) - 1
+_PERM_A = 1315423911       # qid multiplier (same family as qpp.methods
+_PERM_B = 2654435761       # sample_order_keys — SQL-recomputable)
+
+
+def perm_index(qid: str, draw: int, n_perms: int) -> int:
+    """Deterministic ARITHMETIC permutation pick for the distributed
+    stochastic-QPP pipeline: ((q+1)·A + (draw+1)·B) mod 2^31-1 mod n_perms,
+    q = int(qid) mod M31 (crc32 for non-numeric qids). Unlike ``sample_one``
+    (seeded numpy, kept for the reference-shaped API) this is recomputable
+    in plain SQL, so the gate oracle can replay the exact swaps. All
+    products stay < 2^62 — exact in int64 on both sides."""
+    s = str(qid)
+    q = (int(s) if s.isdigit() else crc32(s.encode())) % M31
+    return int(((q + 1) * _PERM_A + (draw + 1) * _PERM_B) % M31) % n_perms
+
+
+def chosen_swap(n_rel: int, n_nonrel: int, idx: int) -> tuple[int, int] | None:
+    """Map a permutation index to (rel_ordinal, nonrel_ordinal) in the
+    sorted-rank enumeration of ``sample_permutations`` (identity at 0)."""
+    if idx == 0 or n_nonrel == 0:
+        return None
+    p = idx - 1
+    return p // n_nonrel, p % n_nonrel
+
+
 def shuffle_topdocs(topdocs: list[tuple[int, float]], qid: str, draw: int,
                     *, num_shuffles: int = NUM_SHUFFLES,
                     topdoc_always_swapped: bool = TOPDOC_ALWAYS_SWAPPED,

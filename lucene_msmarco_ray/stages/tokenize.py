@@ -31,6 +31,10 @@ from ..config import EngineConfig
 POSTINGS_KIND = "p"
 META_KIND = "m"
 FWD_KIND = "f"      # forward-index copy: same rows, doc-bucket partitioned
+LINEAGE_KIND = "l"  # one summary row per tokenize batch: sha256 = XOR of the
+                    # batch's per-row content hashes (hex), doc_id = Σ dl,
+                    # tf = n_docs — the build's lineage/stats pass reads ONLY
+                    # these tiny rows, never re-scanning kind=m
 
 STAGED_SCHEMA = pa.schema([
     ("kind", pa.string()),
@@ -75,6 +79,7 @@ class TokenizeStage:
         self.num_shards = cfg.num_shards
         self.salt_bucket = cfg.salt_docs_per_bucket
         self.fwd_bucket = cfg.fwd_docs_per_bucket
+        self.emit_fwd = cfg.emit_fwd
         self._shard_cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -124,22 +129,38 @@ class TokenizeStage:
                 cache[t] = s
             shards[i] = s
         gkey = shards * GKEY_SALT_SPAN + np_docs // self.salt_bucket
-        fkey = np_docs // self.fwd_bucket
+        nf = npost if self.emit_fwd else 0   # forward-index copies (kind=f)
+        fkey = (np_docs // self.fwd_bucket)[:nf]
+
+        # batch lineage summary (kind=l): XOR of the per-row sha256 digests
+        # (order-independent; vectorized over one bulk hex decode) + counts
+        if self.hash_content and n_docs:
+            digests = np.frombuffer(bytes.fromhex("".join(m_sha)),
+                                    dtype=np.uint8).reshape(n_docs, 32)
+            xor_hex = np.bitwise_xor.reduce(digests, axis=0).tobytes().hex()
+        else:
+            xor_hex = "00" * 32
+        l_dlsum = int(m_dl.astype(np.int64).sum())
 
         return pa.Table.from_arrays(
             [
-                pa.array([POSTINGS_KIND] * npost + [FWD_KIND] * npost
-                         + [META_KIND] * n_docs),
+                pa.array([POSTINGS_KIND] * npost + [FWD_KIND] * nf
+                         + [META_KIND] * n_docs + [LINEAGE_KIND]),
                 pa.array(np.concatenate([gkey, fkey,
-                                         np.full(n_docs, -1, np.int64)])),
-                pa.array(p_terms + p_terms + [""] * n_docs, type=pa.string()),
-                pa.array(np.concatenate([np_docs, np_docs,
-                                         ids.astype(np.int64)])),
-                pa.array(np.concatenate([np_tfs, np_tfs,
-                                         np.zeros(n_docs, np.int32)])),
-                pa.array(np.concatenate([np_dls, np_dls, m_dl])),
-                pa.array([""] * (2 * npost) + keys, type=pa.string()),
-                pa.array([""] * (2 * npost) + m_sha, type=pa.string()),
+                                         np.full(n_docs + 1, -1, np.int64)])),
+                pa.array(p_terms + p_terms[:nf] + [""] * (n_docs + 1),
+                         type=pa.string()),
+                pa.array(np.concatenate([np_docs, np_docs[:nf],
+                                         ids.astype(np.int64),
+                                         np.array([l_dlsum], np.int64)])),
+                pa.array(np.concatenate([np_tfs, np_tfs[:nf],
+                                         np.zeros(n_docs, np.int32),
+                                         np.array([n_docs], np.int32)])),
+                pa.array(np.concatenate([np_dls, np_dls[:nf], m_dl,
+                                         np.zeros(1, np.int32)])),
+                pa.array([""] * (npost + nf) + keys + [""], type=pa.string()),
+                pa.array([""] * (npost + nf) + m_sha + [xor_hex],
+                         type=pa.string()),
             ],
             schema=STAGED_SCHEMA,
         )
