@@ -261,9 +261,21 @@ def kmeans_fit(ds, n_clusters: int, n_iters: int = 2,
     per round. Centroids round at 9dp each round (see _assign_clusters).
     Only O(k·d) crosses the driver per iteration."""
     if init_ids is None:
-        init_ids = np.arange(n_clusters)
+        # the ACTUAL k smallest ids (one per-batch min-k pass + driver fold)
+        # — ids need not be dense or zero-based
+        def _mink(b: pa.Table) -> pa.Table:
+            a = np.sort(b[id_col].to_numpy(zero_copy_only=False))[:n_clusters]
+            return pa.table({id_col: pa.array(a.astype(np.int64))})
+
+        cand = (ds.select_columns([id_col])
+                .map_batches(_mink, batch_format="pyarrow").to_pandas())
+        init_ids = np.sort(cand[id_col].to_numpy())[:n_clusters]
     seed_t = (ds.filter(expr=f"{id_col} in {sorted(int(i) for i in init_ids)}")
               .to_pandas().sort_values(id_col))
+    if len(seed_t) != n_clusters:
+        raise ValueError(
+            f"kmeans_fit: {len(seed_t)} of {n_clusters} requested init ids "
+            f"present in {id_col} — pass init_ids that exist in the dataset")
     cents = np.round(np.asarray(
         [np.asarray(v, np.float64) for v in seed_t[vec_col]]), 9)
     for _ in range(n_iters):

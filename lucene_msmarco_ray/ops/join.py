@@ -65,12 +65,9 @@ def _with_bucket(ds, key: str, num_buckets: int, side: int,
 def bucketed_hash_join(left, right, key: str, num_buckets: int = 32,
                        how: str = "inner", suffixes=("_l", "_r")):
     """Equi-join two Datasets on ``key``. One shuffle (the bucket groupby);
-    per-bucket pandas merge with per-side dtype preservation.
-
-    Caveat (documented, matches SQL NULL semantics loosely): for
-    ``how != "inner"`` the unmatched side's integer columns surface as
-    pandas-NaN floats in the merged output, as in any pandas outer merge.
-    """
+    per-bucket pandas merge with per-side dtype preservation. For
+    ``how != "inner"`` unmatched rows carry typed NULLs (integer columns
+    stay integers — the output is rebuilt against the declared schema)."""
     lschema, rschema = left.schema().base_schema, right.schema().base_schema
     lcols = [n for n in lschema.names if n != key]
     rcols = [n for n in rschema.names if n != key]
@@ -105,13 +102,13 @@ def bucketed_hash_join(left, right, key: str, num_buckets: int = 32,
                                       suffixes=suffixes)
         if merged.empty:
             return out_schema.empty_table()
-        try:
-            return pa.Table.from_pandas(merged, schema=out_schema,
-                                        preserve_index=False)
-        except (pa.ArrowInvalid, pa.ArrowTypeError, KeyError):
-            # Outer/left merges may have NaN-widened columns; fall back to
-            # inferred schema rather than failing the group.
-            return pa.Table.from_pandas(merged, preserve_index=False)
+        # column-wise rebuild against the declared schema: from_pandas=True
+        # maps the NaN of outer/left unmatched rows to typed nulls, so
+        # integer columns never widen to float64 in SOME buckets only
+        # (schema-unstable blocks) — every group emits out_schema exactly
+        cols = [pa.array(merged[f.name], type=f.type, from_pandas=True)
+                for f in out_schema]
+        return pa.Table.from_arrays(cols, schema=out_schema)
 
     join_bucket.__name__ = "join_bucket"
     return both.groupby("__bucket").map_groups(join_bucket,

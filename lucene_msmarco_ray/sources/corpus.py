@@ -100,13 +100,13 @@ def tsv_file_plan(paths: str | list[str]) -> list[dict]:
         ns = []
         for f in batch["file"].to_pylist():
             n = 0
+            last = b""          # reset per file: an empty file counts 0
             with open(f, "rb") as fh:
                 while chunk := fh.read(1 << 22):
                     n += chunk.count(b"\n")
                     last = chunk
-            if n or last:
-                if not last.endswith(b"\n"):
-                    n += 1                      # unterminated final line
+            if last and not last.endswith(b"\n"):
+                n += 1                          # unterminated final line
             ns.append(n)
         return pa.table({"file": batch["file"], "rows": pa.array(ns)})
 

@@ -20,6 +20,29 @@ def test_bucketed_hash_join(ray_session):
     assert len(bucketed_hash_join(left, far, key="k").to_pandas()) == 0
 
 
+def test_bucketed_hash_join_left_keeps_int_dtypes(ray_session):
+    """Non-inner joins: unmatched rows are typed nulls — the right side's
+    int column must stay int64 in EVERY output block (no partition-dependent
+    float64 widening)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.join import bucketed_hash_join
+    left = rd.from_items([{"k": i, "a": i * 10} for i in range(50)])
+    right = rd.from_items([{"k": i, "b": i * 100} for i in range(0, 50, 7)])
+    out = bucketed_hash_join(left, right, key="k", num_buckets=8, how="left")
+    blocks = [ray.get(r) for r in out.to_arrow_refs()]
+    for blk in blocks:
+        if blk.num_rows:
+            assert blk.schema.field("b").type == pa.int64(), blk.schema
+    tbl = pa.concat_tables([b for b in blocks if b.num_rows]).to_pandas()
+    assert len(tbl) == 50
+    m = tbl[tbl["k"] % 7 == 0]
+    assert (m["b"] == m["k"] * 100).all()
+    assert tbl["b"].isna().sum() == 50 - len(m)
+
+
 def test_embedding_neardup(ray_session):
     import ray.data as rd
 
