@@ -14,17 +14,41 @@
 
 Partitioning assumptions (documented per the prompt): sessionize requires
 each user's events co-located (hash on user_id — skew means one hot user
-lands in one partition; cap or sub-sessionize hot users upstream);
-windowed_agg has no co-location requirement at all.
+lands in one partition; ``hot_user_events`` bounds are ENFORCED by
+detection + logging in ``check_hot_users``, since gap sessions cannot be
+split across partitions without a boundary-merge pass); windowed_agg has no
+co-location requirement at all.
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from .dedup import _NUM_PARTS, _mix64
+
+logger = logging.getLogger(__name__)
+
+
+def check_hot_users(user_ids: np.ndarray, counts: np.ndarray,
+                    threshold: int) -> list[tuple[int, int]]:
+    """Users whose event count exceeds ``threshold`` — the sessionize skew
+    bound. Gap-based sessions need ALL of a user's events co-located, so a
+    hot user cannot be sub-partitioned without a boundary-merge pass; the
+    enforced mitigation is detection + logging (the caller sizes
+    ``hot_user_events`` to what one task's heap can sort)."""
+    hot = np.flatnonzero(counts > threshold)
+    out = [(int(user_ids[i]), int(counts[i])) for i in hot]
+    for uid, n in out:
+        logger.warning(
+            "sessionize: user %d has %d events (> hot_user_events=%d); "
+            "this partition's sort is bounded by that user — consider "
+            "pre-splitting the user upstream or raising the bound", uid, n,
+            threshold)
+    return out
 
 
 def _ts_us(col) -> np.ndarray:
@@ -37,7 +61,7 @@ def _ts_us(col) -> np.ndarray:
 
 def sessionize(ds, gap_seconds: int = 1800, user_col: str = "user_id",
                ts_col: str = "ts", value_col: str = "value",
-               id_col: str = "event_id"):
+               id_col: str = "event_id", hot_user_events: int = 5_000_000):
     """→ (user_id, session_id, n_events, start_us, end_us, total_value).
 
     session_id is the user's 0-based session ordinal by time; event order
@@ -70,6 +94,7 @@ def sessionize(ds, gap_seconds: int = 1800, user_col: str = "user_id",
         # per-user ordinal: subtract the user's first global session index
         ustarts = np.flatnonzero(new_user)
         ulens = np.diff(np.concatenate((ustarts, [u.size])))
+        check_hot_users(u[ustarts], ulens, hot_user_events)
         sid = sid_global - np.repeat(sid_global[ustarts], ulens)
         starts = np.flatnonzero(new_sess)
         sizes = np.diff(np.concatenate((starts, [u.size])))

@@ -83,3 +83,38 @@ def test_windowed_agg_goldens(ray_session):
     got = list(zip(out["event_type"], out["n_events"], out["total_value"]))
     assert got == [("click", 2, 4.0), ("click", 1, 4.0), ("view", 1, 8.0)]
     assert out["window_id"].iloc[1] == out["window_id"].iloc[0] + 1
+
+def test_sessionize_forced_skew(ray_session):
+    """One hot user with 100x everyone else's events: output stays correct
+    and the hot-user detector flags exactly that user."""
+    import pandas as pd
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.events import check_hot_users, sessionize
+    rows = []
+    eid = 0
+    # hot user 7: 500 events 1s apart (one session), then a 1h gap + 3 more
+    for i in range(500):
+        rows.append({"user_id": 7, "ts": 1_000_000 + i, "event_id": eid,
+                     "value": 1.0, "event_type": "x"})
+        eid += 1
+    for i in range(3):
+        rows.append({"user_id": 7, "ts": 1_000_000 + 500 + 3600 + i,
+                     "event_id": eid, "value": 1.0, "event_type": "x"})
+        eid += 1
+    for u in range(8, 13):                       # cold users: 5 events each
+        for i in range(5):
+            rows.append({"user_id": u, "ts": 2_000_000 + i, "event_id": eid,
+                         "value": 0.5, "event_type": "x"})
+            eid += 1
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    out = sessionize(rd.from_pandas(df), gap_seconds=1800,
+                     hot_user_events=100).to_pandas()
+    hot = out[out["user_id"] == 7].sort_values("session_id")
+    assert list(hot["n_events"]) == [500, 3]
+    assert (out[out["user_id"] != 7]["n_events"] == 5).all()
+    # detector: exactly the hot user crosses the bound
+    import numpy as np
+    flagged = check_hot_users(np.array([7, 8]), np.array([503, 5]), 100)
+    assert flagged == [(7, 503)]
