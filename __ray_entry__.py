@@ -43,6 +43,24 @@ GATE_QUERIES: list[tuple[str, str]] = [
 _K = 1000
 _INDEX_CACHE: dict[str, str] = {}
 
+# variant table for the variant_qpp gate: deterministic leave-one-term-out
+# variants of every gate query (the reference reads generated variants from
+# QPP_JM_VARIANTS_FILE_*; the gate synthesizes an equivalent-shaped table)
+_N_GATE_VARIANTS = 2
+
+
+def _gate_variants() -> list[tuple[str, int, str, float]]:
+    """[(qid, variant_rank, variant_text, ref_sim)] — variant v drops the
+    query's (v mod len)-th term; ref_sim = 1 − 0.1·(v+1)."""
+    out = []
+    for qid, text in GATE_QUERIES:
+        toks = text.split()
+        for v in range(_N_GATE_VARIANTS):
+            drop = v % len(toks)
+            vt = " ".join(t for i, t in enumerate(toks) if i != drop)
+            out.append((qid, v, vt, round(1.0 - 0.1 * (v + 1), 6)))
+    return out
+
 
 def _index_dir_for(sf_dir: str) -> str:
     import hashlib
@@ -97,24 +115,33 @@ def _queries_ds():
     return rd.from_items([{"qid": q, "text": t} for q, t in GATE_QUERIES])
 
 
-def _rounded_run(sf_dir: str, scorer: str, k: int = _K, **scorer_kw):
+def _rounded_run(sf_dir: str, scorer: str, k: int = _K, queries=None,
+                 head: int | None = None, **scorer_kw):
     """Engine run re-ranked on 6-dp-rounded scores (qid, doc_id, rank, score).
     The flagship `retrieve` keeps exact Lucene ordering; this wrapper only
-    stabilizes the gate comparison against SQL float summation order."""
+    stabilizes the gate comparison against SQL float summation order.
+    ``queries``: [(qid, text)] — defaults to GATE_QUERIES. ``head``: keep
+    only this many rows per query AFTER the rounded re-rank (retrieval still
+    goes to depth ``k``, so the kept set matches SQL's rounded-order top-N
+    exactly even at tie boundaries)."""
     import pandas as pd
+    import ray.data as rd
 
     from lucene_msmarco_ray.search.searcher import retrieve
 
     idx = _ensure_index(sf_dir)
-    run = retrieve(_queries_ds(), idx, scorer=scorer, k=k, concurrency=(1, 2),
+    qs = _queries_ds() if queries is None else rd.from_items(
+        [{"qid": q, "text": t} for q, t in queries])
+    run = retrieve(qs, idx, scorer=scorer, k=k, concurrency=(1, 2),
                    actor_num_cpus=0.5,
                    **scorer_kw)
+    keep = head or k
 
     def rr(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
         g["score"] = g["score"].round(6)
         g = g.sort_values(["score", "doc_id"], ascending=[False, True],
-                          kind="mergesort").head(k)
+                          kind="mergesort").head(keep)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["qid", "doc_id", "rank", "score"]]
 
@@ -761,6 +788,83 @@ UNION ALL SELECT method, 'kendall', round(kv, 6) FROM kend
 UNION ALL SELECT method, 'sare', round(sv, 6) FROM sare"""
 
 
+def _variant_qpp_sql(k1: float, b: float, k: int = 50,
+                     lam: float = 0.5) -> str:
+    """variant_qpp_estimates oracle: BM25 re-run per VARIANT (the gate's
+    leave-one-term-out table embedded as VALUES), NQC on each variant's own
+    min-max-normalized top-``k``, refSim-weighted combine with the base
+    query's NQC (VariantSpecificity.java:63-115 arithmetic, zero/empty
+    fallbacks included)."""
+    vv_rows, vr_rows = [], []
+    for qid, vrank, vtext, ref_sim in _gate_variants():
+        # ::DOUBLE — bare 0.9 parses as DECIMAL, making sum(ref_sim) exact
+        # (1.7) where the engine's float sum gives 1.7000000000000002; the
+        # combine then straddles a 6dp rounding boundary differently.
+        vr_rows.append(f"('{qid}', {vrank}, {ref_sim}::DOUBLE)")
+        for term, qtf in sorted(Counter(vtext.split()).items()):
+            vv_rows.append(f"('{qid}', {vrank}, '{term}', {qtf})")
+    vv = "vv(qid, vrank, term, qtf) AS (VALUES " + ", ".join(vv_rows) + ")"
+    vref = ("vref(qid, vrank, ref_sim) AS (VALUES "
+            + ", ".join(vr_rows) + ")")
+    return _ranked_cte(k1, b) + f""",
+{vv},
+{vref},
+vmatched AS (
+  SELECT vv.qid, vv.vrank, tf.doc_id,
+         sum(vv.qtf * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)))
+           AS raw
+  FROM vv
+  JOIN tf ON tf.term = vv.term
+  JOIN df ON df.term = vv.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2, 3),
+vkeep AS (SELECT * FROM (
+    SELECT qid, vrank, doc_id, round(raw, 6) AS score,
+           row_number() OVER (PARTITION BY qid, vrank
+                              ORDER BY round(raw, 6) DESC, doc_id) AS rank
+    FROM vmatched) WHERE rank <= {k}),
+vmm AS (SELECT qid, vrank, min(score) AS lo, max(score) AS hi
+        FROM vkeep GROUP BY 1, 2),
+vnorm AS (SELECT kk.qid, kk.vrank, kk.rank,
+                 CASE WHEN m.hi = m.lo THEN 0.0
+                      ELSE (kk.score - m.lo) / (m.hi - m.lo) END AS ns
+          FROM vkeep kk
+          JOIN vmm m ON m.qid = kk.qid AND m.vrank = kk.vrank),
+vvar AS (SELECT qid, vrank, var_pop(ns) AS vp FROM vnorm
+         WHERE rank <= {k} GROUP BY 1, 2),
+vidf AS (SELECT vq.qid, vq.vrank, avg(ln(s.n / coalesce(df.df, 1))) AS ai
+         FROM (SELECT DISTINCT qid, vrank, term FROM vv) vq
+         LEFT JOIN df ON df.term = vq.term CROSS JOIN stats s
+         GROUP BY 1, 2),
+vest AS (SELECT v.qid, v.vrank, round(v.vp * i.ai, 6) AS est
+         FROM vvar v JOIN vidf i ON i.qid = v.qid AND i.vrank = v.vrank),
+bmm AS (SELECT qid, min(score) AS lo, max(score) AS hi
+        FROM ranked GROUP BY 1),
+bnorm AS (SELECT r.qid, r.rank,
+                 CASE WHEN m.hi = m.lo THEN 0.0
+                      ELSE (r.score - m.lo) / (m.hi - m.lo) END AS ns
+          FROM ranked r JOIN bmm m ON m.qid = r.qid),
+bvar AS (SELECT qid, var_pop(ns) AS vp FROM bnorm
+         WHERE rank <= {k} GROUP BY 1),
+qterms AS (SELECT DISTINCT qid, term FROM qv),
+qidf3 AS (SELECT qt.qid, avg(ln(s.n / coalesce(df.df, 1))) AS ai
+          FROM qterms qt LEFT JOIN df ON df.term = qt.term
+          CROSS JOIN stats s GROUP BY 1),
+best AS (SELECT b.qid, round(b.vp * qi.ai, 6) AS est
+         FROM bvar b JOIN qidf3 qi ON qi.qid = b.qid),
+comb AS (SELECT vr.qid, sum(vr.ref_sim) AS z,
+                sum(vr.ref_sim * ve.est) AS sv
+         FROM vref vr
+         JOIN vest ve ON ve.qid = vr.qid AND ve.vrank = vr.vrank
+         GROUP BY 1)
+SELECT b.qid, round(CASE WHEN c.z IS NULL OR c.z = 0 THEN b.est
+                         ELSE {lam} * (c.sv / c.z) + (1 - {lam}) * b.est END,
+                    6) AS est
+FROM best b LEFT JOIN comb c ON c.qid = b.qid"""
+
+
 def _stochastic_qpp_sql(k1: float, b: float, k: int = 50,
                         num_samples: int = 5) -> str:
     """stochastic_qpp_evaluation oracle: replay the deterministic rank-swap
@@ -1335,6 +1439,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          right_cols={"event_id": "view_event"},
                          left_cols=["event_id"])
 
+    def variant_qpp(sf_dir: str):
+        """VariantSpecificity composite (reference:
+        experiments/TRECDLQPPEvaluatorWithGenVariants.java): per-variant
+        retrieval through the searcher pool → NQC on each variant's
+        normalized list → refSim-weighted combine with the base NQC."""
+        import pandas as pd
+
+        from lucene_msmarco_ray.pipelines.experiment import (
+            variant_qpp_estimates,
+        )
+        run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
+        idx = _ensure_index(sf_dir)
+        vdf = pd.DataFrame(_gate_variants(),
+                           columns=["qid", "variant_rank", "variant_text",
+                                    "ref_sim"])
+
+        def rfn(qlist):
+            return _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3,
+                                queries=qlist, head=50)
+
+        return variant_qpp_estimates(run, vdf, idx, _gate_query_map(),
+                                     k=50, num_variants=_N_GATE_VARIANTS,
+                                     lam=0.5, retrieve_fn=rfn, est_round=6)
+
     def stochastic_qpp(sf_dir: str):
         """StochasticQPPEvaluation composite (reference:
         stochastic_qpp/StochasticQPPEvaluation.java:229-264): deterministic
@@ -1448,6 +1576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": asof_join_gate,
         "qpp_correlation": qpp_correlation,
         "stochastic_qpp": stochastic_qpp,
+        "variant_qpp": variant_qpp,
         "qpp_basic": qpp_basic,
         "qpp_sampling": qpp_sampling,
         "fdbk_rerank": fdbk_rerank,
@@ -1596,6 +1725,7 @@ FROM w1 JOIN nrm ON nrm.doc_id = w1.doc_id""",
         "ann_ivf": _ann_ivf_sql(),
         "qpp_correlation": _qpp_correlation_sql(0.7, 0.3),
         "stochastic_qpp": _stochastic_qpp_sql(0.7, 0.3),
+        "variant_qpp": _variant_qpp_sql(0.7, 0.3),
         "sessionize": """WITH x AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL

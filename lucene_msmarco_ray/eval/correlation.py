@@ -156,6 +156,35 @@ def rank_dist(list_a, list_b) -> float:
     return float(np.sqrt(total / n))
 
 
+def polynomial_fit(x, y, degree: int = 2) -> np.ndarray:
+    """Least-squares polynomial fit (reference:
+    src/main/java/correlation/PolynomialRegression.java — commons-math3
+    PolynomialCurveFitter.create(2) over observed points). Returns the
+    coefficients in ASCENDING degree order, like commons-math3 (coeff[0] is
+    the constant term)."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    return np.polyfit(x, y, degree)[::-1].copy()
+
+
+def polynomial_predict(coeffs, x) -> np.ndarray:
+    """Evaluate an ascending-coefficient polynomial at ``x``."""
+    c = np.asarray(coeffs, np.float64)
+    return np.polyval(c[::-1], np.asarray(x, np.float64))
+
+
+def polyfit_r2(gt, pred, degree: int = 2) -> float:
+    """Registered-metric form of the polynomial regression: R² of the
+    degree-``degree`` least-squares fit predicting ``pred`` from ``gt``
+    (1.0 = pred is an exact polynomial function of gt)."""
+    gt = np.asarray(gt, np.float64)
+    pred = np.asarray(pred, np.float64)
+    fitted = polynomial_predict(polynomial_fit(gt, pred, degree), gt)
+    ss_res = float(np.sum((pred - fitted) ** 2))
+    ss_tot = float(np.sum((pred - pred.mean()) ** 2))
+    return 1.0 - ss_res / ss_tot if ss_tot else 1.0
+
+
 def jaccard(list_a, list_b) -> float:
     sa, sb = set(list_a), set(list_b)
     inter = len(sa & sb)
@@ -166,5 +195,5 @@ METRIC_REGISTRY = {
     "pearson": pearson, "spearman": spearman, "kendall": kendall,
     "rmse": rmse, "pairacc": pairwise_accuracy, "sare": sare,
     "classacc": quantized_class_accuracy, "qsim": quantized_sim,
-    "qsim_strict": quantized_strict_match,
+    "qsim_strict": quantized_strict_match, "polyfit_r2": polyfit_r2,
 }

@@ -9,6 +9,8 @@ rows) is driver-side numpy — same split as SURVEY.md §2.11.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
 from ..eval.correlation import METRIC_REGISTRY
@@ -38,6 +40,162 @@ def qpp_experiment(run_ds, qrels_df: pd.DataFrame, queries: dict[str, str],
                                         merged[m].to_numpy())), 6),
             })
     return pd.DataFrame(rows)
+
+
+def train_and_test(train_metric: pd.DataFrame, train_base: pd.DataFrame,
+                   train_variants: pd.DataFrame,
+                   test_metric: pd.DataFrame, test_base: pd.DataFrame,
+                   test_variants: pd.DataFrame,
+                   target_metric: str = "ap", base_col: str = "est",
+                   max_num_variants: int = 5, lambda_step: float = 0.5
+                   ) -> dict:
+    """TRECDLQPPEvaluator.trainAndTest grid search (reference:
+    src/main/java/experiments/TRECDLQPPEvaluator.java:83-145): loop
+    (numVariants 1..max) × (λ ∈ {0, step, …, 1}) over CACHED per-query
+    tables — no re-retrieval inside the grid; the per-query combined
+    estimate at a grid point is ``variant_specificity(base, first-nv
+    variants, λ/2)``.
+
+    Reference quirks kept (flagged): the experiment runs with λ/2 while λ
+    itself is recorded/reported (:114 ``l/2`` vs :119 ``p.l = l``); the best
+    tau starts at 0.0 and only strictly-greater taus win (:118) — if every
+    grid tau ≤ 0 the winner stays (λ=0, numVariants=0), i.e. the test falls
+    back to the bare base estimate.
+
+    Inputs: per-query tables (already computed by per_query_metrics /
+    qpp_estimates / the variant composite): ``*_metric`` (qid,
+    ``target_metric``), ``*_base`` (qid, ``base_col``), ``*_variants``
+    (qid, variant_rank, ref_sim, est) with variant_rank the 0-based variant
+    order. Returns {lambda, num_variants, train_tau, test_tau, test_sare}.
+    """
+    import numpy as np
+
+    from ..eval.correlation import kendall, sare
+    from ..fdbk.srlm import variant_specificity
+
+    def _maps(base_df, var_df):
+        bm = dict(zip(base_df["qid"].astype(str), base_df[base_col]))
+        vm: dict[str, list[tuple[float, float]]] = {}
+        for q, g in var_df.groupby("qid"):
+            g = g.sort_values("variant_rank")
+            vm[str(q)] = list(zip(g["ref_sim"].astype(float),
+                                  g["est"].astype(float)))
+        return bm, vm
+
+    def _combined(qids, bm, vm, nv: int, lam: float) -> np.ndarray:
+        return np.array([variant_specificity(float(bm[q]),
+                                             vm.get(q, [])[:nv], lam)
+                         for q in qids])
+
+    tr_bm, tr_vm = _maps(train_base, train_variants)
+    tr = train_metric[train_metric["qid"].astype(str).isin(tr_bm)] \
+        .sort_values("qid")
+    tr_qids = tr["qid"].astype(str).tolist()
+    tr_y = tr[target_metric].to_numpy()
+
+    best = {"lambda": 0.0, "num_variants": 0, "train_tau": 0.0}
+    lam = 0.0
+    lams = []
+    while lam <= 1.0 + 1e-9:         # float accumulation, like the reference
+        lams.append(round(lam, 9))
+        lam += lambda_step
+    for nv in range(1, max_num_variants + 1):
+        for lam in lams:
+            est = _combined(tr_qids, tr_bm, tr_vm, nv, lam / 2.0)
+            tau = float(kendall(tr_y, est))
+            if tau > best["train_tau"]:
+                best = {"lambda": lam, "num_variants": nv, "train_tau": tau}
+
+    te_bm, te_vm = _maps(test_base, test_variants)
+    te = test_metric[test_metric["qid"].astype(str).isin(te_bm)] \
+        .sort_values("qid")
+    te_qids = te["qid"].astype(str).tolist()
+    te_y = te[target_metric].to_numpy()
+    te_est = _combined(te_qids, te_bm, te_vm, best["num_variants"],
+                       best["lambda"] / 2.0)
+    best["test_tau"] = float(kendall(te_y, te_est))
+    best["test_sare"] = float(sare(te_y, te_est))
+    return best
+
+
+def variant_qpp_estimates(run_ds, variants_df: pd.DataFrame, index_dir: str,
+                          queries: dict[str, str], k: int = 50,
+                          num_variants: int = 5, lam: float = 0.5,
+                          base_method: str = "nqc",
+                          normalize_scores: bool = True,
+                          retrieve_fn=None, scorer: str = "bm25",
+                          concurrency=(1, 4), est_round: int | None = None,
+                          **scorer_kw) -> pd.DataFrame:
+    """VariantSpecificity end-to-end (reference:
+    src/main/java/experiments/TRECDLQPPEvaluatorWithGenVariants.java,
+    qpp/VariantSpecificity.java:63-115): retrieve top-``k`` for every query
+    VARIANT through the searcher actor pool, run the base QPP on each
+    variant's own ranked list (scores min-max normalized when
+    ``normalize_scores``, per Constants.NORMALISE_SCORES=true), then combine
+    per original query: λ·(Σ refSim·est / Σ refSim) + (1−λ)·base — the
+    ``fdbk.srlm.variant_specificity`` arithmetic, with its no-variant /
+    zero-refSim fallbacks.
+
+    ``variants_df``: (qid, variant_rank, variant_text, ref_sim); the first
+    ``num_variants`` per qid (by variant_rank) are used — getKNNs(q, M).
+    ``retrieve_fn(queries_list) -> run Dataset`` overrides the default
+    searcher-pool retrieval (the gate injects its 6dp-rounded re-rank so the
+    SQL oracle can replay the variant runs). ``est_round``: round every
+    per-list estimate to this many decimals BEFORE the combine (the gate
+    passes 6 so the engine combines the same 6dp intermediates the SQL
+    oracle does — unrounded combines flip the final 6dp digit on ~1e-7
+    boundary queries). → DataFrame(qid, est)."""
+    import ray.data as rd
+
+    from ..fdbk.srlm import variant_specificity
+    from .feedback import qpp_estimates
+
+    vdf = variants_df.copy()
+    vdf["qid"] = vdf["qid"].astype(str)
+    vdf = vdf.sort_values(["qid", "variant_rank"]) \
+        .groupby("qid").head(num_variants)
+    vqueries = [(f"{q}#v{int(r)}", t) for q, r, t in
+                zip(vdf["qid"], vdf["variant_rank"], vdf["variant_text"])]
+
+    if retrieve_fn is None:
+        from ..search.searcher import retrieve
+
+        def retrieve_fn(qlist):
+            qs = rd.from_items([{"qid": q, "text": t} for q, t in qlist])
+            return retrieve(qs, index_dir, scorer=scorer, k=k,
+                            concurrency=concurrency, **scorer_kw)
+
+    variant_run = retrieve_fn(vqueries)
+    vest = qpp_estimates(variant_run, index_dir, dict(vqueries), k=k,
+                         methods=(base_method,), concurrency=concurrency,
+                         normalize_scores=normalize_scores).to_pandas()
+    base = qpp_estimates(run_ds, index_dir, dict(queries), k=k,
+                         methods=(base_method,), concurrency=concurrency,
+                         normalize_scores=normalize_scores).to_pandas()
+
+    def _r(v: float) -> float:
+        # scaled half-away-from-zero round (SQL ROUND semantics): Python's
+        # round() decimal-rounds the true binary value, so a combine landing
+        # exactly on a 6dp boundary (e.g. 0.0073385) rounds the other way
+        # than the oracle; floor(|x|·10^d + 0.5) on the scaled double agrees.
+        if est_round is None:
+            return v
+        s = 10.0 ** est_round
+        return math.copysign(math.floor(abs(v) * s + 0.5), v) / s
+
+    est_of = dict(zip(vest["qid"], vest[base_method]))
+    rows = []
+    for _, b in base.iterrows():
+        qid = str(b["qid"])
+        g = vdf[vdf["qid"] == qid]
+        pairs = [(float(r), _r(float(est_of[f"{qid}#v{int(v)}"])))
+                 for v, r in zip(g["variant_rank"], g["ref_sim"])
+                 if f"{qid}#v{int(v)}" in est_of]
+        est = variant_specificity(_r(float(b[base_method])), pairs, lam)
+        rows.append({"qid": qid,
+                     "est": _r(est) if est_round is not None
+                     else round(est, 6)})
+    return pd.DataFrame(rows).sort_values("qid").reset_index(drop=True)
 
 
 def perturb_runs(run_ds, qrels_df: pd.DataFrame, num_samples: int,

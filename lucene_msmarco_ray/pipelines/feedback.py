@@ -124,9 +124,16 @@ class QPPStage:
 
     def __init__(self, index_dir: str, queries_ref, k: int = 50,
                  methods: tuple[str, ...] = ("nqc", "cumnqc", "avgidf",
-                                             "maxidf", "rsd", "uef")):
+                                             "maxidf", "rsd", "uef"),
+                 normalize_scores: bool = False):
         self.reader = IndexReader(index_dir)
         self.queries = ray.get(queries_ref)
+        # VariantSpecificity.normaliseScores (reference:
+        # qpp/VariantSpecificity.java:45-60, Constants.NORMALISE_SCORES):
+        # min-max over the WHOLE ranked list before the estimator. Deviation
+        # (flagged): max==min yields 0.0 here (the reference's float 0/0
+        # would be NaN) — same convention as the minmax_norm operator.
+        self.normalize_scores = normalize_scores
         from ..analysis import get_analyzer
         st = self.reader.stats
         self.analyzer = get_analyzer(
@@ -138,6 +145,11 @@ class QPPStage:
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
         qid = str(g["qid"].iloc[0])
         topdocs = _topdocs_of(g)
+        if self.normalize_scores and topdocs:
+            sc = np.array([s for _, s in topdocs])
+            lo, hi = float(sc.min()), float(sc.max())
+            sc = (sc - lo) / (hi - lo) if hi > lo else np.zeros_like(sc)
+            topdocs = [(d, float(s)) for (d, _), s in zip(topdocs, sc)]
         scores = np.array([s for _, s in topdocs])
         terms = self.analyzer(self.queries.get(qid, ""))
         N, dfl, k = self.reader.num_docs, self.reader.df, self.k
@@ -556,10 +568,11 @@ def expand_queries(run_ds, index_dir: str, queries: dict[str, str],
 def qpp_estimates(run_ds, index_dir: str, queries: dict[str, str], k: int = 50,
                   methods: tuple[str, ...] = ("nqc", "cumnqc", "avgidf",
                                               "maxidf", "rsd", "uef"),
-                  concurrency=(1, 4)):
+                  concurrency=(1, 4), normalize_scores: bool = False):
     qref = ray.put(dict(queries))
     return run_ds.groupby("qid").map_groups(
         QPPStage, batch_format="pandas", concurrency=concurrency,
         num_cpus=0.5,
         fn_constructor_kwargs=dict(index_dir=index_dir, queries_ref=qref,
-                                   k=k, methods=methods))
+                                   k=k, methods=methods,
+                                   normalize_scores=normalize_scores))

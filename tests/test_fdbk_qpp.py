@@ -144,3 +144,60 @@ def test_corel_specificity():
     # no usable knn queries → lam * base only
     assert corel_specificity(3.0, [("k2", 1.0)], lambda q: set(),
                              lambda q: 0, lam=0.4) == pytest.approx(1.2)
+
+
+def test_polynomial_regression():
+    from lucene_msmarco_ray.eval.correlation import (
+        polyfit_r2,
+        polynomial_fit,
+        polynomial_predict,
+    )
+    # exact quadratic y = 2 + 3x + 0.5x^2 — coefficients recovered in
+    # ascending order (commons-math3 PolynomialCurveFitter convention)
+    x = np.array([0.0, 1.0, 2.0, 3.0, 4.0, 5.0])
+    y = 2.0 + 3.0 * x + 0.5 * x * x
+    c = polynomial_fit(x, y, degree=2)
+    assert np.allclose(c, [2.0, 3.0, 0.5])
+    assert np.allclose(polynomial_predict(c, x), y)
+    assert polyfit_r2(x, y) == pytest.approx(1.0)
+    # hand-computed least-squares line through 3 non-collinear points:
+    # x=[0,1,2], y=[0,1,3] → slope 3/2, intercept -1/6
+    c1 = polynomial_fit([0, 1, 2], [0, 1, 3], degree=1)
+    assert np.allclose(c1, [-1 / 6, 3 / 2])
+    # noisy data → R² strictly below 1
+    rng_y = y + np.array([0.5, -0.5, 0.5, -0.5, 0.5, -0.5])
+    assert 0.9 < polyfit_r2(x, rng_y) < 1.0
+
+
+def test_train_and_test_grid():
+    import pandas as pd
+
+    from lucene_msmarco_ray.pipelines.experiment import train_and_test
+
+    # variant estimates correlate perfectly with the target metric while the
+    # small-magnitude base anti-correlates: every λ>0 grid point (run at
+    # λ/2) yields tau=1.0, λ=0 yields −1 — the strictly-greater rule (:118)
+    # keeps the FIRST winner, λ=0.5 with numVariants=1.
+    qids = ["q1", "q2", "q3", "q4"]
+    ap = [0.1, 0.2, 0.3, 0.4]
+    base = [0.4, 0.3, 0.2, 0.1]           # anti-correlated with ap
+    vest = [10.0, 20.0, 30.0, 40.0]       # perfectly correlated, dominant
+    metric = pd.DataFrame({"qid": qids, "ap": ap})
+    base_df = pd.DataFrame({"qid": qids, "est": base})
+    var_df = pd.DataFrame({"qid": qids, "variant_rank": 0,
+                           "ref_sim": 1.0, "est": vest})
+    out = train_and_test(metric, base_df, var_df,
+                         metric, base_df, var_df,
+                         max_num_variants=2, lambda_step=0.5)
+    assert out["lambda"] == 0.5 and out["num_variants"] == 1
+    assert out["train_tau"] == pytest.approx(1.0)
+    assert out["test_tau"] == pytest.approx(out["train_tau"])
+    # all-negative grid → fallback winner stays (λ=0, nv=0, tau 0.0)
+    anti = pd.DataFrame({"qid": qids, "ap": base})  # ap == base ordering
+    flip = pd.DataFrame({"qid": qids, "est": ap})   # est anti-ordered
+    var_anti = pd.DataFrame({"qid": qids, "variant_rank": 0,
+                             "ref_sim": 1.0, "est": ap})
+    out2 = train_and_test(anti, flip, var_anti, anti, flip, var_anti,
+                          max_num_variants=1, lambda_step=0.5)
+    assert out2["num_variants"] == 0 and out2["lambda"] == 0.0
+    assert out2["train_tau"] == 0.0

@@ -111,3 +111,49 @@ def test_qpp_experiment(ray_session, tmp_path_factory):
     # determinism across invocations
     st2 = stochastic_qpp_evaluation(run, qrels, queries, out, num_samples=2)
     assert st.equals(st2)
+
+
+def test_variant_qpp_estimates(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from lucene_msmarco_ray.config import EngineConfig
+    from lucene_msmarco_ray.fdbk.srlm import variant_specificity
+    from lucene_msmarco_ray.index.build import build_index
+    from lucene_msmarco_ray.pipelines.experiment import variant_qpp_estimates
+    from lucene_msmarco_ray.pipelines.feedback import qpp_estimates
+    from lucene_msmarco_ray.search.searcher import retrieve
+
+    out = str(tmp_path_factory.mktemp("vqpp") / "idx")
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    build_index(ds, out, EngineConfig(analyzer="simple", num_shards=2),
+                text_col="text", id_col="doc_id")
+    queries = {"1": "table value hash", "2": "window sort merge"}
+    run = retrieve(rd.from_items(
+        [{"qid": q, "text": t} for q, t in queries.items()]),
+        out, k=30, concurrency=1).materialize()
+    vdf = pd.DataFrame([
+        ("1", 0, "table value", 0.9), ("1", 1, "value hash", 0.8),
+        ("1", 2, "ignored extra", 0.7),     # beyond num_variants → dropped
+        ("2", 0, "window sort", 0.9),
+    ], columns=["qid", "variant_rank", "variant_text", "ref_sim"])
+    est = variant_qpp_estimates(run, vdf, out, queries, k=20,
+                                num_variants=2, lam=0.4, concurrency=1)
+    assert list(est["qid"]) == ["1", "2"]
+    # replay the combine by hand from the SAME primitives
+    base = qpp_estimates(run, out, queries, k=20, methods=("nqc",),
+                         concurrency=1, normalize_scores=True).to_pandas()
+    vq = [(f"{q}#v{r}", t) for q, r, t, _ in vdf.itertuples(index=False)
+          if r < 2]
+    vrun = retrieve(rd.from_items(
+        [{"qid": q, "text": t} for q, t in vq]), out, k=20, concurrency=1)
+    vest = qpp_estimates(vrun, out, dict(vq), k=20, methods=("nqc",),
+                         concurrency=1, normalize_scores=True).to_pandas()
+    vmap = dict(zip(vest["qid"], vest["nqc"]))
+    bmap = dict(zip(base["qid"], base["nqc"]))
+    for _, row in est.iterrows():
+        q = row["qid"]
+        pairs = [(rs, vmap[f"{q}#v{r}"]) for _, r, _, rs in
+                 vdf[vdf.qid == q].itertuples(index=False) if r < 2]
+        want = round(variant_specificity(float(bmap[q]), pairs, 0.4), 6)
+        assert row["est"] == pytest.approx(want)
