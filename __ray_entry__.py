@@ -1463,6 +1463,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      k=50, num_variants=_N_GATE_VARIANTS,
                                      lam=0.5, retrieve_fn=rfn, est_round=6)
 
+    def media_decode(sf_dir: str):
+        """Real multimodal decode (rows-only gate — PNG/WAV decoding is not
+        SQL-expressible): synthesize deterministic REAL payloads, decode
+        images (stdlib-zlib PNG) and audio (PCM WAV) through the actor-pool
+        stages, return per-media feature checksums."""
+        import pandas as pd
+        import ray.data as rd
+
+        from lucene_msmarco_ray.ops.multimodal import (
+            decode_media,
+            synth_real_media_table,
+        )
+        tbl = synth_real_media_table(60)
+        img = decode_media(rd.from_arrow(tbl), "image", fake=False,
+                           concurrency=(1, 2)).to_pandas()
+        aud = decode_media(rd.from_arrow(tbl), "audio", fake=False,
+                           concurrency=(1, 2)).to_pandas()
+        img["kind"], aud["kind"] = "image", "audio"
+        img["checksum"] = [round(float(np.sum(f)), 6) for f in img["feature"]]
+        aud["checksum"] = [round(float(np.sum(f)), 6) for f in aud["feature"]]
+        cols = ["media_id", "kind", "checksum"]
+        out = pd.concat([img[cols], aud[cols]])
+        return out.sort_values("media_id").reset_index(drop=True)
+
     def stochastic_qpp(sf_dir: str):
         """StochasticQPPEvaluation composite (reference:
         stochastic_qpp/StochasticQPPEvaluation.java:229-264): deterministic
@@ -1576,6 +1600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": asof_join_gate,
         "qpp_correlation": qpp_correlation,
         "stochastic_qpp": stochastic_qpp,
+        "media_decode": media_decode,
         "variant_qpp": variant_qpp,
         "qpp_basic": qpp_basic,
         "qpp_sampling": qpp_sampling,

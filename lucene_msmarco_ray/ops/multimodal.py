@@ -1,13 +1,15 @@
 """Multimodal column operators — image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in this
-environment): each stage raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decode (seeded from the
-payload bytes) exercises the real Ray-side plumbing — schema handling, actor
-signature, batch sizing, output layout — which is the part that matters for
-the engine. Real kernels drop into ``_decode_*`` without touching the
-pipeline shape.
+Image and audio decode are REAL: PNG via stdlib zlib + numpy scanline
+unfiltering and 16-bit PCM WAV via stdlib ``wave`` (``ops.media_codec``) —
+no external media library needed. ``fake=True`` keeps the deterministic
+payload-seeded stub for arbitrary-bytes tests. Video decode stays STUBBED
+(``NotImplementedError`` unless ``fake=True``): container/codec parsing
+genuinely needs libraries absent from this environment; the Ray-side
+plumbing — schema handling, actor signature, batch sizing, per-frame output
+layout — is real and tested, and a real kernel drops into ``__call__``
+without touching the pipeline shape.
 
 Design notes for 100 TB: binary payloads make rows wide — callers should
 cap ``batch_size`` (default 32 here vs thousands for text) and keep
@@ -42,6 +44,9 @@ def _fake_vector(payload: bytes, dim: int) -> np.ndarray:
 
 class ImageDecodeStage:
     """binary image → (media_id, width, height, feature:list<float32>[dim]).
+    Real mode decodes PNG, reports SOURCE dims, and features the
+    nearest-neighbor ``resize`` via a mean-pooled luminance grid; fake mode
+    reports ``resize`` dims and a payload-seeded vector.
 
     Actor-pool stage: the decoder/model load belongs in ``__init__`` (once
     per actor); per-batch work in ``__call__``. Use with
@@ -53,18 +58,32 @@ class ImageDecodeStage:
                  fake: bool = False):
         self.dim, self.resize, self.fake = dim, resize, fake
         if not fake:
-            # real impl: load PIL/torchvision here, once per actor
-            raise NotImplementedError(
-                "image decoding requires an image library not present in "
-                "this environment; pass fake=True for the deterministic stub")
+            # real kernel: stdlib PNG decode (ops.media_codec) — bind the
+            # functions once per actor so __call__ pays no import cost
+            from .media_codec import decode_png, image_feature, resize_nearest
+            self._decode = decode_png
+            self._resize = resize_nearest
+            self._feature = image_feature
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [_fake_vector(p, self.dim)
-                 for p in batch["payload"].to_pylist()]
+        n = batch.num_rows
+        if self.fake:
+            feats = [_fake_vector(p, self.dim)
+                     for p in batch["payload"].to_pylist()]
+            widths = [self.resize[0]] * n
+            heights = [self.resize[1]] * n
+        else:
+            feats, widths, heights = [], [], []
+            for p in batch["payload"].to_pylist():
+                img = self._decode(p)
+                heights.append(img.shape[0])
+                widths.append(img.shape[1])
+                feats.append(self._feature(self._resize(img, self.resize),
+                                           self.dim))
         return pa.table({
             "media_id": batch["media_id"],
-            "width": pa.array([self.resize[0]] * len(feats), pa.int32()),
-            "height": pa.array([self.resize[1]] * len(feats), pa.int32()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
             "feature": pa.array([f.tolist() for f in feats],
                                 pa.list_(pa.float32())),
         })
@@ -76,16 +95,24 @@ class AudioFeatureStage:
     def __init__(self, dim: int = 32, frame_ms: int = 25, fake: bool = False):
         self.dim, self.frame_ms, self.fake = dim, frame_ms, fake
         if not fake:
-            raise NotImplementedError(
-                "audio decoding requires an audio library not present in "
-                "this environment; pass fake=True for the deterministic stub")
+            from .media_codec import audio_feature, decode_wav
+            self._decode = decode_wav
+            self._feature = audio_feature
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        durations = batch["duration_ms"].to_pylist()
-        n_frames = [max(1, (d if d and d > 0 else 1000) // self.frame_ms)
-                    for d in durations]
-        feats = [_fake_vector(p, self.dim) for p in payloads]
+        if self.fake:
+            durations = batch["duration_ms"].to_pylist()
+            n_frames = [max(1, (d if d and d > 0 else 1000) // self.frame_ms)
+                        for d in durations]
+            feats = [_fake_vector(p, self.dim) for p in payloads]
+        else:
+            n_frames, feats = [], []
+            for p in payloads:
+                samples, rate = self._decode(p)
+                frame_len = max(1, rate * self.frame_ms // 1000)
+                n_frames.append(max(1, samples.size // frame_len))
+                feats.append(self._feature(samples, self.dim))
         return pa.table({
             "media_id": batch["media_id"],
             "n_frames": pa.array(n_frames, pa.int32()),
@@ -141,6 +168,49 @@ def synth_media_table(n: int, seed: int = 3) -> pa.Table:
         rows["height"].append(int(rng.integers(64, 1080)) if kind == "image" else -1)
         rows["duration_ms"].append(int(rng.integers(500, 20_000))
                                    if kind != "image" else -1)
+    return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+def synth_real_media_table(n: int, seed: int = 3) -> pa.Table:
+    """Deterministic REAL media rows: PNG payloads (random pixels, per-row
+    filter types cycling 0-4 so every unfilter path runs) and 16-bit PCM
+    WAV payloads (sine + noise). Video rows keep opaque bytes (decode is
+    stubbed). Same schema as ``synth_media_table``."""
+    from .media_codec import encode_png, encode_wav
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    rows = {"media_id": [], "kind": [], "payload": [], "mime": [],
+            "width": [], "height": [], "duration_ms": []}
+    for i in range(n):
+        kind = kinds[i % 3]
+        if kind == "image":
+            h = int(rng.integers(8, 48))
+            w = int(rng.integers(8, 48))
+            ch = int(rng.choice([1, 2, 3, 4]))
+            img = rng.integers(0, 256, (h, w, ch), np.uint8)
+            payload = encode_png(img, filters=[y % 5 for y in range(h)])
+            width, height, dur = w, h, -1
+        elif kind == "audio":
+            rate = 8000
+            dur = int(rng.integers(100, 1200))
+            t = np.arange(rate * dur // 1000) / rate
+            freq = float(rng.uniform(100, 900))
+            sig = 0.6 * np.sin(2 * np.pi * freq * t) \
+                + 0.1 * rng.standard_normal(t.size)
+            payload = encode_wav(sig, rate)
+            width = height = -1
+        else:
+            payload = rng.bytes(256)
+            width = height = -1
+            dur = int(rng.integers(500, 20_000))
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["mime"].append({"image": "image/png", "audio": "audio/wav",
+                             "video": "video/mp4"}[kind])
+        rows["width"].append(width)
+        rows["height"].append(height)
+        rows["duration_ms"].append(dur)
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
 
 
