@@ -1145,6 +1145,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     import pyarrow as pa
     import pyarrow.dataset as pads
 
+    def _read16(sf_dir: str, table: str, columns):
+        # Right-sized read (≥32MB file bytes per block) with a floor of 16
+        # blocks so CPU-heavy map stages keep parallelism on small gate
+        # inputs while shuffles stop paying 128-empty-block scheduling
+        # overhead (measured: minhash 6.3→1.4s, simhash 3.5→1.6s at sf0.1).
+        from lucene_msmarco_ray.sources.pq import read_parquet_sized
+        return read_parquet_sized(os.path.join(sf_dir, table),
+                                  columns=columns, min_blocks=16)
+
     def term_stats(sf_dir: str):
         # read back from the engine's own segment files — exercises the full
         # build path (tokenize → shuffle → encode → parquet). A term's salt
@@ -1214,51 +1223,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return run.groupby("qid").map_groups(mm, batch_format="pandas")
 
     def dedup_exact(sf_dir: str):
-        import ray.data as rd
-
         from lucene_msmarco_ray.ops.dedup import exact_dedup
-        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                             columns=["doc_id", "text"])
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         return exact_dedup(ds)
 
     def tok_count(sf_dir: str):
-        import ray.data as rd
-
         from lucene_msmarco_ray.ops.textstats import token_count
-        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                             columns=["doc_id", "text"])
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         return token_count(ds)
 
     def quality(sf_dir: str):
-        import ray.data as rd
-
         from lucene_msmarco_ray.ops.textstats import quality_score
-        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                             columns=["doc_id", "text"])
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         return quality_score(ds)
 
     def langid(sf_dir: str):
-        import ray.data as rd
-
         from lucene_msmarco_ray.ops.textstats import lang_id
-        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                             columns=["doc_id", "text"])
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         return lang_id(ds)
 
     def fp(sf_dir: str):
-        import ray.data as rd
-
         from lucene_msmarco_ray.ops.textstats import fingerprint
-        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                             columns=["doc_id", "text"])
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         return fingerprint(ds)
 
     def ngram_jacc(sf_dir: str):
-        import ray.data as rd
-
         from lucene_msmarco_ray.ops.dedup import ngram_jaccard_pairs
-        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                             columns=["doc_id", "text"])
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         return ngram_jaccard_pairs(ds, n=3, threshold=0.8)
 
     def _emb_queries(sf_dir: str):
@@ -1270,66 +1261,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ids[sel], mat
 
     def ann_bruteforce(sf_dir: str):
-        import ray.data as rd
-
         from lucene_msmarco_ray.ops.ann import brute_force_knn
         qids, qmat = _emb_queries(sf_dir)
-        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                             columns=["vec_id", "embedding"])
+        ds = _read16(sf_dir, "embeddings.parquet", ["vec_id", "embedding"])
         return brute_force_knn(ds, qids, qmat, k=10)
 
     def ann_lsh(sf_dir: str):
-        import ray.data as rd
-
         from lucene_msmarco_ray.ops.ann import lsh_knn
         qids, qmat = _emb_queries(sf_dir)
-        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                             columns=["vec_id", "embedding"])
+        ds = _read16(sf_dir, "embeddings.parquet", ["vec_id", "embedding"])
         return lsh_knn(ds, qids, qmat, k=10, nbits=6)
 
     def ann_ivf(sf_dir: str):
-        import ray.data as rd
-
         from lucene_msmarco_ray.ops.ann import ivf_knn
         qids, qmat = _emb_queries(sf_dir)
-        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                             columns=["vec_id", "embedding"])
+        ds = _read16(sf_dir, "embeddings.parquet", ["vec_id", "embedding"])
         return ivf_knn(ds, qids, qmat, k=10, n_clusters=8, n_probe=2,
                        n_iters=2)
 
     def emb_neardup(sf_dir: str):
-        import ray.data as rd
-
         from lucene_msmarco_ray.ops.ann import embedding_neardup
-        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                             columns=["vec_id", "embedding"])
+        ds = _read16(sf_dir, "embeddings.parquet", ["vec_id", "embedding"])
         return embedding_neardup(ds, threshold=0.45)
 
     def bucket_join(sf_dir: str):
-        import ray.data as rd
-
         from lucene_msmarco_ray.ops.join import bucketed_hash_join
         from lucene_msmarco_ray.ops.textstats import quality_score, token_count
-        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id", "text"])
+        docs = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         left = token_count(docs)
         right = quality_score(docs).drop_columns(["n_tokens"])
         return bucketed_hash_join(left, right, key="doc_id", num_buckets=16)
 
     def minhash_pairs(sf_dir: str):
-        import ray.data as rd
-
         from lucene_msmarco_ray.ops.dedup import minhash_lsh_candidates
-        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                             columns=["doc_id", "text"])
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         return minhash_lsh_candidates(ds)
 
     def simhash(sf_dir: str):
-        import ray.data as rd
-
         from lucene_msmarco_ray.ops.dedup import simhash_pairs
-        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                             columns=["doc_id", "text"])
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         return simhash_pairs(ds)
 
     def eval_metrics(sf_dir: str):
@@ -1411,33 +1381,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 top_k=20, round_to=6, concurrency=(1, 2))
 
     def sessionize_gate(sf_dir: str):
-        import ray.data as rd
-
         from lucene_msmarco_ray.ops.events import sessionize
-        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                             columns=["event_id", "ts", "user_id", "value"])
+        from lucene_msmarco_ray.sources.pq import read_parquet_sized
+        ds = read_parquet_sized(os.path.join(sf_dir, "events.parquet"),
+                                columns=["event_id", "ts", "user_id",
+                                         "value"])
         return sessionize(ds, gap_seconds=1800)
 
     def windowed_agg_gate(sf_dir: str):
-        import ray.data as rd
-
         from lucene_msmarco_ray.ops.events import windowed_agg
-        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                             columns=["ts", "event_type", "value"])
+        from lucene_msmarco_ray.sources.pq import read_parquet_sized
+        ds = read_parquet_sized(os.path.join(sf_dir, "events.parquet"),
+                                columns=["ts", "event_type", "value"])
         return windowed_agg(ds, window_seconds=3600)
 
     def asof_join_gate(sf_dir: str):
         """Each click matched to the user's latest preceding (or same-
         instant) view — DuckDB ASOF LEFT JOIN is the oracle."""
-        import ray.data as rd
+        import pyarrow.parquet as pq
 
         from lucene_msmarco_ray.ops.events import asof_join
+        from lucene_msmarco_ray.sources.pq import read_parquet_sized
         ev = os.path.join(sf_dir, "events.parquet")
-        clicks = rd.read_parquet(ev).filter(expr="event_type == 'click'")
-        views = rd.read_parquet(ev).filter(expr="event_type == 'view'")
+        schema = pq.read_schema(ev)    # metadata-only; filter keeps it
+        clicks = read_parquet_sized(ev).filter(expr="event_type == 'click'")
+        views = read_parquet_sized(ev).filter(expr="event_type == 'view'")
         return asof_join(clicks, views, by_col="user_id", ts_col="ts",
                          right_cols={"event_id": "view_event"},
-                         left_cols=["event_id"])
+                         left_cols=["event_id"],
+                         left_schema=schema, right_schema=schema)
 
     def variant_qpp(sf_dir: str):
         """VariantSpecificity composite (reference:
@@ -1519,15 +1491,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         and return the reconstruction — the SQL oracle checks it equals the
         whitespace-normalized original text (an exactness property of the
         subword segmentation that SQL can verify without running BPE)."""
-        import ray.data as rd
 
         from lucene_msmarco_ray.analysis.bpe import (
             BpeModel,
             bpe_pretokenize,
             learn_bpe,
         )
-        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id", "text"])
+        docs = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         model = learn_bpe(docs, num_merges=50)
         enc = bpe_pretokenize(docs, model, out_col="bpe_text",
                               strip_marker=False)

@@ -113,7 +113,9 @@ def sessionize(ds, gap_seconds: int = 1800, user_col: str = "user_id",
 
 
 def asof_join(left_ds, right_ds, by_col: str, ts_col: str,
-              right_cols: dict[str, str], left_cols: list[str]):
+              right_cols: dict[str, str], left_cols: list[str],
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
     """Backward as-of join (prompt §custom-operators): for every left row,
     the LATEST right row of the same ``by_col`` with right.ts <= left.ts.
 
@@ -127,10 +129,16 @@ def asof_join(left_ds, right_ds, by_col: str, ts_col: str,
     microsecond timestamps make collisions measure-zero).
 
     ``right_cols``: {right column → output name}; ``left_cols``: left
-    columns to carry through. Unmatched left rows keep nulls."""
+    columns to carry through. Unmatched left rows keep nulls.
+
+    Pass ``left_schema``/``right_schema`` (e.g. from parquet metadata) when
+    the inputs are transformed datasets — ``ds.schema()`` on those executes
+    a hidden limit-1 job per side just to learn the dtypes."""
     out_right = list(right_cols.values())
-    lschema = left_ds.schema().base_schema
-    rschema = right_ds.schema().base_schema
+    lschema = (left_schema if left_schema is not None
+               else left_ds.schema().base_schema)
+    rschema = (right_schema if right_schema is not None
+               else right_ds.schema().base_schema)
 
     fields = [pa.field(by_col, pa.int64()), pa.field("__ts", pa.int64()),
               pa.field("__side", pa.int8())]

@@ -85,3 +85,32 @@ def test_write_preprocessed(ray_session, tmp_path):
     lines = dict(ln.split("\t") for ln in open(out).read().splitlines())
     assert lines["1"] == "the quick fox"
     assert lines["2"] == "b 42"
+
+def test_read_parquet_sized(ray_session, tmp_path):
+    """Tiny inputs stop over-splitting (1 block); the floor keeps map
+    parallelism; big inputs would still split at ~32MB/block."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_msmarco_ray.sources.pq import (
+        read_parquet_sized,
+        sized_num_blocks,
+    )
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"a": list(range(1000))}), p)
+    assert sized_num_blocks(p) == 1
+    assert sized_num_blocks(p, min_blocks=16) == 16
+    # a directory of files sums sizes; 3 copies still << 32MB -> 1 block
+    d = tmp_path / "dir"
+    d.mkdir()
+    for i in range(3):
+        pq.write_table(pa.table({"a": list(range(1000))}),
+                       str(d / f"{i}.parquet"))
+    assert sized_num_blocks(str(d)) == 1
+    # synthetic large size: 100 GB at 32 MB/block = 3200 blocks
+    assert sized_num_blocks(p, target_block_bytes=1024) > 1
+    ds = read_parquet_sized(p)
+    assert ds.count() == 1000
+    assert ds.materialize().num_blocks() == 1
+    ds16 = read_parquet_sized(p, min_blocks=16)
+    assert ds16.count() == 1000
