@@ -1411,6 +1411,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          left_cols=["event_id"],
                          left_schema=schema, right_schema=schema)
 
+    def sessionize_chunked_gate(sf_dir: str):
+        """Skew-proof two-level sessionize (per-(user, time-chunk)
+        fragments + fragment merge) — must equal the SAME window-function
+        oracle as plain sessionize; chunk = 1h on gate data so fragments
+        genuinely split and re-merge."""
+        from lucene_msmarco_ray.ops.events import sessionize_chunked
+        from lucene_msmarco_ray.sources.pq import read_parquet_sized
+        ds = read_parquet_sized(os.path.join(sf_dir, "events.parquet"),
+                                columns=["ts", "user_id", "value"])
+        return sessionize_chunked(ds, gap_seconds=1800, chunk_seconds=3600)
+
+    def range_join_gate(sf_dir: str):
+        """Every click within 10 minutes AFTER a view by the same user —
+        the bucketed interval join (intervals replicate to ≤2 buckets of
+        width = the window; clicks land in exactly one)."""
+        import pyarrow.compute as pc
+
+        from lucene_msmarco_ray.ops.join import bucketed_range_join
+        from lucene_msmarco_ray.sources.pq import read_parquet_sized
+        ev = os.path.join(sf_dir, "events.parquet")
+        win_us = 600_000_000
+
+        def views_of(batch):
+            ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            return pa.table({"user_id": batch["user_id"].cast(pa.int64()),
+                             "view_event": batch["event_id"].cast(pa.int64()),
+                             "lo_us": ts, "hi_us": pc.add(ts, win_us)})
+
+        def clicks_of(batch):
+            ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            return pa.table({"user_id": batch["user_id"].cast(pa.int64()),
+                             "click_event": batch["event_id"].cast(pa.int64()),
+                             "p_us": ts})
+
+        views = read_parquet_sized(ev) \
+            .filter(expr="event_type == 'view'") \
+            .map_batches(views_of, batch_format="pyarrow")
+        clicks = read_parquet_sized(ev) \
+            .filter(expr="event_type == 'click'") \
+            .map_batches(clicks_of, batch_format="pyarrow")
+        i64 = pa.int64()
+        out = bucketed_range_join(
+            views, clicks, lo_col="lo_us", hi_col="hi_us", point_col="p_us",
+            key="user_id", bucket_width=win_us,
+            left_schema=pa.schema([("user_id", i64), ("view_event", i64),
+                                   ("lo_us", i64), ("hi_us", i64)]),
+            right_schema=pa.schema([("user_id", i64), ("click_event", i64),
+                                    ("p_us", i64)]))
+        return out.select_columns(["user_id", "view_event", "click_event"])
+
     def variant_qpp(sf_dir: str):
         """VariantSpecificity composite (reference:
         experiments/TRECDLQPPEvaluatorWithGenVariants.java): per-variant
@@ -1566,8 +1616,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_annotate": rel_annotate,
         "bpe_roundtrip": bpe_roundtrip,
         "sessionize": sessionize_gate,
+        "sessionize_chunked": sessionize_chunked_gate,
         "windowed_agg": windowed_agg_gate,
         "asof_join": asof_join_gate,
+        "range_join": range_join_gate,
         "qpp_correlation": qpp_correlation,
         "stochastic_qpp": stochastic_qpp,
         "media_decode": media_decode,
@@ -1736,6 +1788,30 @@ SELECT user_id, sid::BIGINT AS session_id, count(*)::BIGINT AS n_events,
        epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
        round(sum(value), 6) AS total_value
 FROM s GROUP BY 1, 2""",
+        # sessionize_chunked must satisfy the SAME global gap semantics —
+        # the oracle is identical to sessionize's window-function SQL
+        "sessionize_chunked": """WITH x AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS sid
+      FROM x)
+SELECT user_id, sid::BIGINT AS session_id, count(*)::BIGINT AS n_events,
+       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+       round(sum(value), 6) AS total_value
+FROM s GROUP BY 1, 2""",
+        "range_join": """SELECT v.user_id, v.event_id AS view_event,
+       c.event_id AS click_event
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = v.user_id
+ AND epoch_us(c.ts) >= epoch_us(v.ts)
+ AND epoch_us(c.ts) <= epoch_us(v.ts) + 600000000""",
         "windowed_agg": """SELECT event_type,
   (epoch_us(ts) // 3600000000)::BIGINT AS window_id,
   count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value

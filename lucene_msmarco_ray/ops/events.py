@@ -112,6 +112,111 @@ def sessionize(ds, gap_seconds: int = 1800, user_col: str = "user_id",
             .groupby("__part").map_groups(sessions, batch_format="pandas"))
 
 
+def sessionize_chunked(ds, gap_seconds: int = 1800,
+                       chunk_seconds: int = 86_400,
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       value_col: str = "value"):
+    """Skew-proof sessionize: identical output to :func:`sessionize`, but no
+    partition ever holds more than one (user, time-chunk) of events — the
+    scale path for hot users that plain sessionize can only detect and log.
+
+    Two-level composition:
+
+    1. events partition on hash(user, ts // chunk) → per-chunk sessions
+       (same vectorized gap pass, additionally split at chunk boundaries);
+       the shuffle unit is bounded by one user's events per ``chunk_seconds``
+       regardless of total skew.
+    2. the per-chunk session summaries (≪ events: one row per session
+       fragment) shuffle once on hash(user); consecutive fragments of a user
+       merge when the inter-fragment gap ≤ ``gap_seconds`` — exactly the
+       global gap rule, since fragments are time-disjoint and within-chunk
+       splits already honored it.
+
+    Partitioning assumption: one user's events within one chunk fit a task
+    (bound = rate × chunk_seconds; lower ``chunk_seconds`` for hotter
+    streams). No assumption on events per user overall."""
+    gap_us = int(gap_seconds) * 1_000_000
+    chunk_us = int(chunk_seconds) * 1_000_000
+
+    def part_of(batch: pa.Table) -> pa.Table:
+        u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ts = _ts_us(batch[ts_col])
+        chunk = (ts // chunk_us).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = u * np.uint64(0x9E3779B97F4A7C15) + chunk
+        p = (_mix64(key) % np.uint64(_NUM_PARTS)).astype(np.int64)
+        return pa.table({
+            "__part": pa.array(p),
+            "user_id": batch[user_col].cast(pa.int64()),
+            "chunk": pa.array(chunk.astype(np.int64)),
+            "ts_us": pa.array(ts),
+            "value": batch[value_col].cast(pa.float64()),
+        })
+
+    def chunk_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        c = g["chunk"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        val = g["value"].to_numpy()
+        order = np.lexsort((ts, c, u))
+        u, c, ts, val = u[order], c[order], ts[order], val[order]
+        new_grp = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (c[1:] != c[:-1])))
+        gap = np.concatenate(([0], ts[1:] - ts[:-1]))
+        new_sess = new_grp | (gap > gap_us)
+        starts = np.flatnonzero(new_sess)
+        sizes = np.diff(np.concatenate((starts, [u.size])))
+        return pd.DataFrame({
+            "user_id": u[starts],
+            "n_events": sizes.astype(np.int64),
+            "start_us": ts[starts],
+            "end_us": ts[starts + sizes - 1],
+            "total_value": np.add.reduceat(val, starts),
+        })
+
+    def upart(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_mix64(u) % np.uint64(_NUM_PARTS)).astype(np.int64)
+        return batch.append_column("__p2", pa.array(p))
+
+    def merge_fragments(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        s = g["start_us"].to_numpy()
+        e = g["end_us"].to_numpy()
+        n = g["n_events"].to_numpy()
+        v = g["total_value"].to_numpy()
+        order = np.lexsort((s, u))
+        u, s, e, n, v = u[order], s[order], e[order], n[order], v[order]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        # fragments are time-disjoint per user, so e is nondecreasing within
+        # a user and the inter-fragment gap is next.start - prev.end
+        gap = np.concatenate(([0], s[1:] - e[:-1]))
+        new_sess = new_user | (gap > gap_us)
+        starts = np.flatnonzero(new_sess)
+        sizes = np.diff(np.concatenate((starts, [u.size])))
+        sid_global = np.cumsum(new_sess) - 1
+        ustarts = np.flatnonzero(new_user)
+        ulens = np.diff(np.concatenate((ustarts, [u.size])))
+        sid = sid_global - np.repeat(sid_global[ustarts], ulens)
+        return pd.DataFrame({
+            "user_id": u[starts],
+            "session_id": sid[starts].astype(np.int64),
+            "n_events": np.add.reduceat(n, starts).astype(np.int64),
+            "start_us": s[starts],
+            "end_us": e[starts + sizes - 1],
+            "total_value": np.round(np.add.reduceat(v, starts), 6),
+        })
+
+    chunk_sessions.__name__ = "sessionize_chunks"
+    merge_fragments.__name__ = "merge_session_fragments"
+    frags = (ds.map_batches(part_of, batch_format="pyarrow")
+             .groupby("__part").map_groups(chunk_sessions,
+                                           batch_format="pandas"))
+    return (frags.map_batches(upart, batch_format="pyarrow")
+            .groupby("__p2").map_groups(merge_fragments,
+                                        batch_format="pandas"))
+
+
 def asof_join(left_ds, right_ds, by_col: str, ts_col: str,
               right_cols: dict[str, str], left_cols: list[str],
               left_schema: pa.Schema | None = None,

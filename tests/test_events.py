@@ -118,3 +118,105 @@ def test_sessionize_forced_skew(ray_session):
     import numpy as np
     flagged = check_hot_users(np.array([7, 8]), np.array([503, 5]), 100)
     assert flagged == [(7, 503)]
+
+
+def test_sessionize_chunked_matches_plain(ray_session):
+    """Chunked (skew-proof) sessionize ≡ plain sessionize on randomized
+    events, including sessions spanning chunk boundaries and a hot user."""
+    import pandas as pd
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.events import sessionize, sessionize_chunked
+    rng = np.random.default_rng(11)
+    rows = []
+    eid = 0
+    for user in range(1, 8):
+        n = 400 if user == 3 else rng.integers(5, 40)   # user 3 is hot
+        t = 0.0
+        for _ in range(n):
+            # mix of small gaps (same session) and >1800s jumps; some jumps
+            # are huge so sessions cross the 3600s chunk boundary freely
+            t += float(rng.choice([1, 60, 900, 1801, 7200, 90000]))
+            rows.append(_ev(eid, user, t, float(rng.integers(1, 9))))
+            eid += 1
+    ds = rd.from_items(rows, override_num_blocks=8)
+    cols = ["user_id", "session_id", "n_events", "start_us", "end_us",
+            "total_value"]
+    plain = sessionize(ds, gap_seconds=1800).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    # chunk = 3600s ≈ session scale → fragments merge across many chunks
+    chunked = sessionize_chunked(ds, gap_seconds=1800,
+                                 chunk_seconds=3600).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, chunked)
+
+
+def test_sessionize_chunked_boundary_merge(ray_session):
+    """A session straddling a chunk boundary is ONE session with exact
+    aggregates (the fragment-merge pass, not per-chunk truncation)."""
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.events import sessionize_chunked
+    rows = [_ev(0, 1, 3590, 1.0),    # chunk 0 (3600s chunks)
+            _ev(1, 1, 3620, 2.0),    # chunk 1, gap 30s → same session
+            _ev(2, 1, 7300, 4.0),    # chunk 2, gap 3680s... wait gap vs 3620
+            _ev(3, 1, 20000, 8.0)]   # far away → new session
+    # gaps: 30 (merge), 3680 > 1800 (split), 12700 (split)
+    ds = rd.from_items(rows, override_num_blocks=2)
+    out = sessionize_chunked(ds, gap_seconds=1800, chunk_seconds=3600) \
+        .to_pandas().sort_values("session_id").reset_index(drop=True)
+    assert out["session_id"].tolist() == [0, 1, 2]
+    assert out["n_events"].tolist() == [2, 1, 1]
+    assert out["total_value"].tolist() == [3.0, 4.0, 8.0]
+
+
+def test_bucketed_range_join(ray_session):
+    """Range join vs a brute-force pandas computation, intervals spanning
+    multiple buckets, inclusive bounds, keyed and unkeyed."""
+    import pandas as pd
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.join import bucketed_range_join
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({
+        "k": rng.integers(1, 5, 60),
+        "lid": np.arange(60),
+        "lo": rng.integers(0, 1000, 60).astype(np.int64),
+    })
+    left["hi"] = left["lo"] + rng.integers(0, 300, 60)
+    right = pd.DataFrame({
+        "k": rng.integers(1, 5, 80),
+        "rid": np.arange(80),
+        "p": rng.integers(0, 1300, 80).astype(np.int64),
+    })
+    exp = left.merge(right, on="k")
+    exp = exp[(exp["lo"] <= exp["p"]) & (exp["p"] <= exp["hi"])]
+    exp = exp[["k", "lid", "rid"]].sort_values(["k", "lid", "rid"]) \
+        .reset_index(drop=True)
+    lds = rd.from_arrow(__import__("pyarrow").Table.from_pandas(left))
+    rds = rd.from_arrow(__import__("pyarrow").Table.from_pandas(right))
+    got = bucketed_range_join(
+        lds, rds, lo_col="lo", hi_col="hi", point_col="p", key="k",
+        bucket_width=64).to_pandas()[["k", "lid", "rid"]] \
+        .sort_values(["k", "lid", "rid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(exp.astype(got.dtypes), got)
+    # unkeyed: cross-key containment
+    exp2 = left.drop(columns="k").merge(right.drop(columns="k"), how="cross")
+    exp2 = exp2[(exp2["lo"] <= exp2["p"]) & (exp2["p"] <= exp2["hi"])]
+    exp2 = exp2[["lid", "rid"]].sort_values(["lid", "rid"]) \
+        .reset_index(drop=True)
+    got2 = bucketed_range_join(
+        rd.from_arrow(__import__("pyarrow").Table.from_pandas(
+            left.drop(columns="k"))),
+        rd.from_arrow(__import__("pyarrow").Table.from_pandas(
+            right.drop(columns="k"))),
+        lo_col="lo", hi_col="hi", point_col="p", bucket_width=64) \
+        .to_pandas()[["lid", "rid"]].sort_values(["lid", "rid"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(exp2.astype(got2.dtypes), got2)
+    # bounded-span guard
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="max_span_buckets"):
+        bucketed_range_join(lds, rds, lo_col="lo", hi_col="hi",
+                            point_col="p", key="k", bucket_width=64,
+                            max_span_buckets=2).to_pandas()
