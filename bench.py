@@ -104,7 +104,8 @@ def run_bench() -> dict:
     gate_names = () if os.environ.get("GRAFT_SKIP_GATE") else (
         "bm25_topk", "term_stats", "dedup_exact", "token_count",
         "ann_bruteforce", "minhash_pairs", "simhash_pairs", "ann_ivf",
-        "lm_doc_weights", "sessionize", "asof_join")
+        "lm_doc_weights", "sessionize", "sessionize_chunked", "asof_join",
+        "range_join")
     import __ray_entry__ as e
     sys.modules.setdefault("__ray_entry__", e)
     qmap = e.queries()
