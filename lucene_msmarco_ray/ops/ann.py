@@ -301,16 +301,22 @@ class _IvfScoreStage:
         q = ray.get(qref)
         self.qids = q["qids"]
         self.qmat = _normalize(q["mat"])
-        self.probes = q["probes"]            # (nq, n_probe) cluster ids
+        probes = q["probes"]                 # (nq, n_probe) cluster ids
+        # (nq, n_clusters) membership table, built once per actor: the
+        # per-batch mask is then a plain column gather — O(nq·nb) — instead
+        # of the (nq, n_probe, nb) broadcast-compare temp
+        self.probe_mask = np.zeros((len(self.qids),
+                                    int(probes.max()) + 1), bool)
+        self.probe_mask[np.arange(len(self.qids))[:, None], probes] = True
         self.k, self.id_col, self.vec_col = k, id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        # upstream filter keeps only probed clusters, so vc indexes in range
         vc = batch["cluster"].to_numpy(zero_copy_only=False)
         mat = _normalize(_batch_matrix(batch, self.vec_col))
         sims = self.qmat @ mat.T
-        allowed = (self.probes[:, :, None] == vc[None, None, :]).any(axis=1)
-        sims = np.where(allowed, sims, -np.inf)
+        sims = np.where(self.probe_mask[:, vc], sims, -np.inf)
         return _partial_topk(sims, ids, self.qids, self.k)
 
 
