@@ -1290,7 +1290,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         left = token_count(docs)
         right = quality_score(docs).drop_columns(["n_tokens"])
-        return bucketed_hash_join(left, right, key="doc_id", num_buckets=16)
+        i64, f64 = pa.int64(), pa.float64()
+        return bucketed_hash_join(
+            left, right, key="doc_id", num_buckets=16,
+            left_schema=pa.schema([("doc_id", i64), ("n_tokens", i64),
+                                   ("n_unique", i64)]),
+            right_schema=pa.schema([("doc_id", i64), ("stop_ratio", f64),
+                                    ("mean_token_len", f64),
+                                    ("uniq_ratio", f64)]))
 
     def minhash_pairs(sf_dir: str):
         from lucene_msmarco_ray.ops.dedup import minhash_lsh_candidates

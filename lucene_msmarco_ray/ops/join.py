@@ -63,12 +63,20 @@ def _with_bucket(ds, key: str, num_buckets: int, side: int,
 
 
 def bucketed_hash_join(left, right, key: str, num_buckets: int = 32,
-                       how: str = "inner", suffixes=("_l", "_r")):
+                       how: str = "inner", suffixes=("_l", "_r"),
+                       left_schema: pa.Schema | None = None,
+                       right_schema: pa.Schema | None = None):
     """Equi-join two Datasets on ``key``. One shuffle (the bucket groupby);
     per-bucket pandas merge with per-side dtype preservation. For
     ``how != "inner"`` unmatched rows carry typed NULLs (integer columns
-    stay integers — the output is rebuilt against the declared schema)."""
-    lschema, rschema = left.schema().base_schema, right.schema().base_schema
+    stay integers — the output is rebuilt against the declared schema).
+    Pass ``left_schema``/``right_schema`` when the inputs are transformed
+    datasets — ``ds.schema()`` on those executes a hidden limit-1 job per
+    side just to learn the dtypes."""
+    lschema = (left_schema if left_schema is not None
+               else left.schema().base_schema)
+    rschema = (right_schema if right_schema is not None
+               else right.schema().base_schema)
     lcols = [n for n in lschema.names if n != key]
     rcols = [n for n in rschema.names if n != key]
     overlap = sorted(set(lcols) & set(rcols))
