@@ -284,6 +284,26 @@ class _MinHashStage:
 _NUM_PARTS = 64     # coarse shuffle partitions for bucket-local work
 
 
+def coarse_parts(num_parts: int | None = None) -> int:
+    """Coarse shuffle partition count for bucket-local work.
+
+    A fixed count caps reduce parallelism at that many tasks no matter how
+    big the cluster is; too many partitions pays ~1 ms pandas overhead per
+    near-empty group (measured round 2). The default scales with the
+    cluster — 2 partitions per core, floor ``_NUM_PARTS`` — so a 32-CPU
+    node keeps the measured-optimal 64 while a 256-node cluster gets
+    thousands. Resolved at PLAN time on the driver (workers never call
+    this)."""
+    if num_parts is not None:
+        return int(num_parts)
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or _NUM_PARTS // 2
+    except Exception:
+        cpus = _NUM_PARTS // 2
+    return max(_NUM_PARTS, cpus * 2)
+
+
 def _segments(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Starts/sizes of equal-key runs in a sorted key array."""
     if keys.size == 0:
@@ -327,10 +347,12 @@ def _bucket_pairs(g: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
                          "doc_b": np.concatenate(out_b)})
 
 
-def _dedup_pairs(pairs, extra: tuple[str, ...] = ()):
+def _dedup_pairs(pairs, extra: tuple[str, ...] = (),
+                 num_parts: int | None = None):
     """Distinct (doc_a, doc_b) rows via ONE coarse int-keyed shuffle.
     ``extra`` columns are carried from the first occurrence (they are
     deterministic per pair for every caller here)."""
+    parts = np.uint64(coarse_parts(num_parts))
 
     def part_of(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -338,7 +360,7 @@ def _dedup_pairs(pairs, extra: tuple[str, ...] = ()):
         with np.errstate(over="ignore"):
             p = _mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ bb)
         return batch.append_column(
-            "__part", pa.array((p % np.uint64(_NUM_PARTS)).astype(np.int64)))
+            "__part", pa.array((p % parts).astype(np.int64)))
 
     def uniq(g: pd.DataFrame) -> pd.DataFrame:
         a = g["doc_a"].to_numpy()
@@ -360,7 +382,7 @@ def _dedup_pairs(pairs, extra: tuple[str, ...] = ()):
 def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
                            num_perm: int = 64, bands: int = 16,
                            shingle_k: int = 3, max_bucket: int = 1000,
-                           seed: int = 13):
+                           seed: int = 13, num_parts: int | None = None):
     """Near-duplicate candidate pairs via MinHash-LSH.
 
     → (doc_a, doc_b) distinct pairs that collide in ≥1 band. Buckets larger
@@ -372,6 +394,8 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
     ``bucket % _NUM_PARTS`` (bucket-local pair expansion is vectorized inside
     each partition), then pair dedup grouped by a pair-hash partition. No
     per-tiny-group pandas overhead (measured 10x on the sf0.1 bench)."""
+
+    parts = np.uint64(coarse_parts(num_parts))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return _bucket_pairs(g, max_bucket)
@@ -386,13 +410,13 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
     def part_of(batch: pa.Table) -> pa.Table:
         bk = batch["bucket"].to_numpy(zero_copy_only=False).view(np.uint64)
         return batch.append_column(
-            "__part", pa.array((bk % np.uint64(_NUM_PARTS)).astype(np.int64)))
+            "__part", pa.array((bk % parts).astype(np.int64)))
 
     pairs = (rows.map_batches(part_of, batch_format="pyarrow")
              .groupby("__part").map_groups(bucket_pairs,
                                            batch_format="pandas"))
     # distinct pairs (a pair can collide in several bands)
-    return _dedup_pairs(pairs)
+    return _dedup_pairs(pairs, num_parts=num_parts)
 
 
 # simhash band layout over the 62-bit fingerprint: widths/shifts chosen so
@@ -450,11 +474,14 @@ class _SimHashStage:
 
 
 def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, max_bucket: int = 1000):
+                  max_hamming: int = 3, max_bucket: int = 1000,
+                  num_parts: int | None = None):
     """SimHash near-dup pairs: 4 disjoint bands (16+16+15+15 of 62 bits) for
     candidates, Hamming-verified — any pair within distance d≤3 shares ≥1
     exact band (pigeonhole), so results equal the all-pairs scan whenever no
     bucket overflows ``max_bucket`` (overflows are logged)."""
+
+    parts = np.uint64(coarse_parts(num_parts))
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         # one coarse partition = many band buckets; vectorize across them
@@ -500,18 +527,19 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def part_of(batch: pa.Table) -> pa.Table:
         bk = batch["bkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        p = _mix64(bk) % np.uint64(_NUM_PARTS)
+        p = _mix64(bk) % parts
         return batch.append_column("__part", pa.array(p.astype(np.int64)))
 
     allpairs = (sigs.map_batches(part_of, batch_format="pyarrow")
                 .groupby("__part").map_groups(verify, batch_format="pandas"))
     # hamming is deterministic per pair, so dedup keeps the first occurrence
-    return _dedup_pairs(allpairs, extra=("hamming",))
+    return _dedup_pairs(allpairs, extra=("hamming",), num_parts=num_parts)
 
 
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.8,
-                        max_gram_df: int = 200):
+                        max_gram_df: int = 200,
+                        num_parts: int | None = None):
     """Exact n-gram Jaccard near-dup pairs via a gram inverted index:
     explode (gram_id, doc) → coarse-partition groupby → per-gram pairs →
     count shared grams per pair → jaccard = shared / (|A| + |B| - shared)
@@ -529,6 +557,8 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     practice). Exactness holds for pairs whose similarity rests on at least
     one non-stop gram; boilerplate-only pairs are the domain of exact_dedup.
     """
+
+    parts = np.uint64(coarse_parts(num_parts))
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -553,7 +583,7 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                          "n_grams": pa.array(ng),
                          "__part": pa.array(
                              (_mix64(gid.view(np.uint64))
-                              % np.uint64(_NUM_PARTS)).astype(np.int64))})
+                              % parts).astype(np.int64))})
 
     def gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
         gid = g["gram_id"].to_numpy()
@@ -587,7 +617,7 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         with np.errstate(over="ignore"):
             p = _mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ bb)
         return batch.append_column(
-            "__part", pa.array((p % np.uint64(_NUM_PARTS)).astype(np.int64)))
+            "__part", pa.array((p % parts).astype(np.int64)))
 
     def count_shared(g: pd.DataFrame) -> pd.DataFrame:
         a = g["doc_a"].to_numpy()

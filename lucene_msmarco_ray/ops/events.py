@@ -4,10 +4,10 @@
 * sessionize — gap-based sessions per user: consecutive events of a user
   belong to one session while the inter-event gap is ≤ ``gap_seconds``.
   Expressed as a composition (the prompt's option (a)): one coarse
-  int-keyed exchange co-locates each user's events (``user_id % 64`` —
-  users are numerous and small, so partitions batch many users and the
-  session detection is ONE vectorized pass per partition), no per-user
-  pandas groups.
+  int-keyed exchange co-locates each user's events (hash(user_id) into
+  ``coarse_parts()`` partitions — users are numerous and small, so
+  partitions batch many users and the session detection is ONE vectorized
+  pass per partition), no per-user pandas groups.
 * windowed_agg — tumbling time windows per event type: a pure
   pre-aggregated groupby (window id computed in the map stage; the shuffle
   moves only (type, window, partial) rows).
@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .dedup import _NUM_PARTS, _mix64
+from .dedup import _mix64, coarse_parts
 
 logger = logging.getLogger(__name__)
 
@@ -61,17 +61,19 @@ def _ts_us(col) -> np.ndarray:
 
 def sessionize(ds, gap_seconds: int = 1800, user_col: str = "user_id",
                ts_col: str = "ts", value_col: str = "value",
-               id_col: str = "event_id", hot_user_events: int = 5_000_000):
+               id_col: str = "event_id", hot_user_events: int = 5_000_000,
+               num_parts: int | None = None):
     """→ (user_id, session_id, n_events, start_us, end_us, total_value).
 
     session_id is the user's 0-based session ordinal by time; event order
     within equal timestamps breaks on event_id (deterministic, matches the
     SQL oracle's window ORDER BY ts, event_id)."""
     gap_us = int(gap_seconds) * 1_000_000
+    parts = np.uint64(coarse_parts(num_parts))
 
     def part_of(batch: pa.Table) -> pa.Table:
         u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        p = (_mix64(u) % np.uint64(_NUM_PARTS)).astype(np.int64)
+        p = (_mix64(u) % parts).astype(np.int64)
         return pa.table({
             "__part": pa.array(p),
             "user_id": batch[user_col].cast(pa.int64()),
@@ -115,7 +117,8 @@ def sessionize(ds, gap_seconds: int = 1800, user_col: str = "user_id",
 def sessionize_chunked(ds, gap_seconds: int = 1800,
                        chunk_seconds: int = 86_400,
                        user_col: str = "user_id", ts_col: str = "ts",
-                       value_col: str = "value"):
+                       value_col: str = "value",
+                       num_parts: int | None = None):
     """Skew-proof sessionize: identical output to :func:`sessionize`, but no
     partition ever holds more than one (user, time-chunk) of events — the
     scale path for hot users that plain sessionize can only detect and log.
@@ -137,6 +140,7 @@ def sessionize_chunked(ds, gap_seconds: int = 1800,
     streams). No assumption on events per user overall."""
     gap_us = int(gap_seconds) * 1_000_000
     chunk_us = int(chunk_seconds) * 1_000_000
+    parts = np.uint64(coarse_parts(num_parts))
 
     def part_of(batch: pa.Table) -> pa.Table:
         u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -144,7 +148,7 @@ def sessionize_chunked(ds, gap_seconds: int = 1800,
         chunk = (ts // chunk_us).astype(np.uint64)
         with np.errstate(over="ignore"):
             key = u * np.uint64(0x9E3779B97F4A7C15) + chunk
-        p = (_mix64(key) % np.uint64(_NUM_PARTS)).astype(np.int64)
+        p = (_mix64(key) % parts).astype(np.int64)
         return pa.table({
             "__part": pa.array(p),
             "user_id": batch[user_col].cast(pa.int64()),
@@ -176,7 +180,7 @@ def sessionize_chunked(ds, gap_seconds: int = 1800,
 
     def upart(batch: pa.Table) -> pa.Table:
         u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        p = (_mix64(u) % np.uint64(_NUM_PARTS)).astype(np.int64)
+        p = (_mix64(u) % parts).astype(np.int64)
         return batch.append_column("__p2", pa.array(p))
 
     def merge_fragments(g: pd.DataFrame) -> pd.DataFrame:
@@ -220,7 +224,8 @@ def sessionize_chunked(ds, gap_seconds: int = 1800,
 def asof_join(left_ds, right_ds, by_col: str, ts_col: str,
               right_cols: dict[str, str], left_cols: list[str],
               left_schema: pa.Schema | None = None,
-              right_schema: pa.Schema | None = None):
+              right_schema: pa.Schema | None = None,
+              num_parts: int | None = None):
     """Backward as-of join (prompt §custom-operators): for every left row,
     the LATEST right row of the same ``by_col`` with right.ts <= left.ts.
 
@@ -288,9 +293,11 @@ def asof_join(left_ds, right_ds, by_col: str, ts_col: str,
                    for c, o in right_cols.items()]
     out_schema = pa.schema(out_fields)
 
+    parts = np.uint64(coarse_parts(num_parts))
+
     def part_of(batch: pa.Table) -> pa.Table:
         u = batch[by_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        p = (_mix64(u) % np.uint64(_NUM_PARTS)).astype(np.int64)
+        p = (_mix64(u) % parts).astype(np.int64)
         return batch.append_column("__part", pa.array(p))
 
     both = lds.union(rds).map_batches(part_of, batch_format="pyarrow")

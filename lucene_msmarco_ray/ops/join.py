@@ -126,7 +126,7 @@ def bucketed_hash_join(left, right, key: str, num_buckets: int = 32,
 def bucketed_range_join(left, right, *, lo_col: str, hi_col: str,
                         point_col: str, key: str | None = None,
                         bucket_width: int = 3_600_000_000,
-                        num_parts: int = 64,
+                        num_parts: int | None = None,
                         max_span_buckets: int = 1024,
                         left_schema: pa.Schema | None = None,
                         right_schema: pa.Schema | None = None):
@@ -152,6 +152,8 @@ def bucketed_range_join(left, right, *, lo_col: str, hi_col: str,
     not overlap across sides; output = [key?] + left cols + right cols.
     ``left_schema``/``right_schema`` skip the hidden limit-1 ``ds.schema()``
     jobs on transformed inputs."""
+    from .dedup import coarse_parts
+    num_parts = coarse_parts(num_parts)
     w = int(bucket_width)
     lschema = (left_schema if left_schema is not None
                else left.schema().base_schema)
