@@ -159,9 +159,8 @@ def test_sessionize_chunked_boundary_merge(ray_session):
     from lucene_msmarco_ray.ops.events import sessionize_chunked
     rows = [_ev(0, 1, 3590, 1.0),    # chunk 0 (3600s chunks)
             _ev(1, 1, 3620, 2.0),    # chunk 1, gap 30s → same session
-            _ev(2, 1, 7300, 4.0),    # chunk 2, gap 3680s... wait gap vs 3620
+            _ev(2, 1, 7300, 4.0),    # chunk 2, gap 3680s > 1800 → split
             _ev(3, 1, 20000, 8.0)]   # far away → new session
-    # gaps: 30 (merge), 3680 > 1800 (split), 12700 (split)
     ds = rd.from_items(rows, override_num_blocks=2)
     out = sessionize_chunked(ds, gap_seconds=1800, chunk_seconds=3600) \
         .to_pandas().sort_values("session_id").reset_index(drop=True)
@@ -220,3 +219,30 @@ def test_bucketed_range_join(ray_session):
         bucketed_range_join(lds, rds, lo_col="lo", hi_col="hi",
                             point_col="p", key="k", bucket_width=64,
                             max_span_buckets=2).to_pandas()
+
+
+def test_new_ops_partition_invariance(ray_session):
+    """Output is independent of the coarse partition count (physical knob
+    only) — the property that makes num_parts safe to scale with the
+    cluster."""
+    import pandas as pd
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.events import sessionize_chunked
+    rng = np.random.default_rng(7)
+    rows = []
+    for eid in range(300):
+        rows.append(_ev(eid, int(rng.integers(1, 9)),
+                        float(rng.integers(0, 200_000)),
+                        float(rng.integers(1, 9))))
+    ds = rd.from_items(rows, override_num_blocks=5)
+    cols = ["user_id", "session_id", "n_events", "start_us", "end_us",
+            "total_value"]
+    outs = []
+    for nparts in (3, 64):
+        outs.append(sessionize_chunked(ds, gap_seconds=1800,
+                                       chunk_seconds=3600,
+                                       num_parts=nparts)
+                    .to_pandas()[cols].sort_values(cols)
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
