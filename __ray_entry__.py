@@ -194,14 +194,15 @@ matched AS (
   CROSS JOIN stats s
   GROUP BY 1, 2
 ),
-ranked AS (
+ranked_all AS (
   SELECT qid, doc_id, round(raw, 6) AS score,
          row_number() OVER (PARTITION BY qid
                             ORDER BY round(raw, 6) DESC, doc_id) AS rank
   FROM matched
-)
+),
+ranked AS (SELECT * FROM ranked_all WHERE rank <= {k})
 SELECT qid, doc_id, rank::BIGINT AS rank, score
-FROM ranked WHERE rank <= {k}"""
+FROM ranked"""
 
 
 def _lmdir_sql(mu: float, k: int = _K) -> str:
@@ -241,7 +242,11 @@ matched AS (
   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
   GROUP BY 1, 2
 ),
-r AS (SELECT qid, doc_id, round(raw, 6) AS score FROM matched),
+r AS (SELECT qid, doc_id, score FROM (
+        SELECT qid, doc_id, round(raw, 6) AS score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY round(raw, 6) DESC, doc_id) AS rnk
+        FROM matched) WHERE rnk <= {_K}),
 mm AS (SELECT qid, min(score) AS lo, max(score) AS hi FROM r GROUP BY 1)
 SELECT r.qid, r.doc_id,
        round(CASE WHEN mm.hi = mm.lo THEN 0.0
