@@ -184,10 +184,12 @@ def variant_qpp_estimates(run_ds, variants_df: pd.DataFrame, index_dir: str,
         return math.copysign(math.floor(abs(v) * s + 0.5), v) / s
 
     est_of = dict(zip(vest["qid"], vest[base_method]))
+    empty = vdf.iloc[0:0]
+    by_qid = {q: g for q, g in vdf.groupby("qid", sort=False)}
     rows = []
     for _, b in base.iterrows():
         qid = str(b["qid"])
-        g = vdf[vdf["qid"] == qid]
+        g = by_qid.get(qid, empty)
         pairs = [(float(r), _r(float(est_of[f"{qid}#v{int(v)}"])))
                  for v, r in zip(g["variant_rank"], g["ref_sim"])
                  if f"{qid}#v{int(v)}" in est_of]

@@ -87,20 +87,35 @@ def resort_run(df: pd.DataFrame, num_wanted: int | None = None) -> pd.DataFrame:
     return pd.concat(out, ignore_index=True) if out else df
 
 
+def _run_lines(df: pd.DataFrame, run_name: str, docid_col: str) -> str:
+    """Vectorized TREC 6-col formatting for one (already sorted) frame."""
+    scores = np.char.mod("%.6f", df["score"].to_numpy(dtype=np.float64))
+    s = (df["qid"].astype(str) + "\tQ0\t" + df[docid_col].astype(str) + "\t"
+         + df["rank"].astype(np.int64).astype(str) + "\t"
+         + pd.Series(scores, index=df.index) + f"\t{run_name}\n")
+    return "".join(s.tolist())
+
+
 def write_run(run, path: str, run_name: str = "ray-bm25",
               docid_col: str = "doc_id") -> None:
-    """Run table/Dataset → single TREC res file (trec_eval-compatible needs
-    one file: streamed through iter_batches, sorted by (qid, rank))."""
+    """Run table/Dataset → single TREC res file (trec_eval needs one file).
+
+    A Dataset is sorted cluster-side by (qid, rank) and streamed to the file
+    through ``iter_batches`` — the driver only ever holds one batch, so a
+    100×-scale run spills in the object store instead of the driver heap.
+    Small pandas/Arrow inputs are formatted in one vectorized pass."""
     try:
         import ray.data as rd
         if isinstance(run, rd.Dataset):
-            run = run.to_pandas()
+            with open(path, "w", encoding="utf-8") as f:
+                for b in run.sort(["qid", "rank"]).iter_batches(
+                        batch_format="pandas", batch_size=65536):
+                    f.write(_run_lines(b, run_name, docid_col))
+            return
     except ImportError:
         pass
     if isinstance(run, pa.Table):
         run = run.to_pandas()
     run = run.sort_values(["qid", "rank"], kind="mergesort")
     with open(path, "w", encoding="utf-8") as f:
-        for r in run.itertuples(index=False):
-            f.write(f"{r.qid}\tQ0\t{getattr(r, docid_col)}\t{r.rank}\t"
-                    f"{r.score:.6f}\t{run_name}\n")
+        f.write(_run_lines(run, run_name, docid_col))
