@@ -417,6 +417,52 @@ def _dedup_exact_sql() -> str:
 FROM documents GROUP BY 1"""
 
 
+def _curate_sql(min_tokens: int = 20, keep_langs=("en", "es"),
+                min_uniq: float = 0.35, max_stop: float = 0.25) -> str:
+    """Independent DuckDB replay of ops/curate.curate_corpus: quality +
+    language features over whitespace tokens, the same filter predicates on
+    the 6-dp-rounded features, then exact dedup by the 124-bit polynomial
+    content hash with keeper = min doc_id."""
+    from lucene_msmarco_ray.ops.dedup import CONTENT_HASH_BASES
+    from lucene_msmarco_ray.ops.textstats import LANG_MARKERS, STOP_SMALL
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n  ".join(
+        f"len(list_filter(toks, x -> list_contains({_sql_list(LANG_MARKERS[l])}, x)))"
+        f" AS s_{l}" for l in langs)
+    max_expr = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pred_branches = " ".join(f"WHEN s_{l} = m THEN '{l}'" for l in langs)
+    rolls = ", ".join(
+        f"CASE WHEN len(text) = 0 THEN 0 ELSE {_roll_sql('text', b)} END"
+        for b in CONTENT_HASH_BASES)
+    fmt = "%08x" * len(CONTENT_HASH_BASES)
+    lang_list = ", ".join(f"'{l}'" for l in keep_langs)
+    return f"""WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+tn AS (SELECT * FROM t WHERE len(toks) >= {min_tokens}),
+f AS (SELECT doc_id, text, len(toks)::BIGINT AS n_tokens,
+  round(len(list_filter(toks, x -> list_contains({_sql_list(STOP_SMALL)}, x)))
+        / len(toks)::DOUBLE, 6) AS stop_ratio,
+  round(list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+        / len(toks)::DOUBLE, 6) AS mean_token_len,
+  round(len(list_distinct(toks)) / len(toks)::DOUBLE, 6) AS uniq_ratio,
+  {score_cols}
+  FROM tn),
+m AS (SELECT *, {max_expr} AS m FROM f),
+l AS (SELECT *, CASE WHEN m = 0 THEN 'und' {pred_branches} END AS lang_pred
+      FROM m),
+k AS (SELECT * FROM l
+      WHERE lang_pred IN ({lang_list}) AND uniq_ratio >= {min_uniq}
+        AND stop_ratio <= {max_stop}),
+h AS (SELECT *, printf('{fmt}', {rolls}) AS content_hash FROM k)
+SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count,
+  min(n_tokens) AS n_tokens, min(stop_ratio) AS stop_ratio,
+  min(mean_token_len) AS mean_token_len, min(uniq_ratio) AS uniq_ratio,
+  min(lang_pred) AS lang_pred
+FROM h GROUP BY content_hash"""
+
+
 def _minhash_sql(num_perm: int = 64, bands: int = 16, seed: int = 13) -> str:
     """Independent DuckDB recomputation of minhash_lsh_candidates: same gram
     hashes, same seeded (a,b) permutation constants, same band keys."""
@@ -1252,6 +1298,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         return fingerprint(ds)
 
+    def curate(sf_dir: str):
+        from lucene_msmarco_ray.ops.curate import curate_corpus
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
+        return curate_corpus(ds, min_tokens=20, langs=("en", "es"),
+                             min_uniq_ratio=0.35, max_stop_ratio=0.25)
+
     def ngram_jacc(sf_dir: str):
         from lucene_msmarco_ray.ops.dedup import ngram_jaccard_pairs
         ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
@@ -1612,6 +1664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lmdir_topk": lmdir_topk,
         "minmax_norm": minmax_norm,
         "dedup_exact": dedup_exact,
+        "curate_corpus": curate,
         "token_count": tok_count,
         "quality_score": quality,
         "lang_id": langid,
@@ -1675,6 +1728,7 @@ SELECT doc_id, count(*)::BIGINT AS doc_len FROM toks2 GROUP BY doc_id""",
         "minmax_norm": _minmax_sql(0.7, 0.3),
 
         "dedup_exact": _dedup_exact_sql(),
+        "curate_corpus": _curate_sql(),
 
         "token_count": """SELECT doc_id,
   len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
