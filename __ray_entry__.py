@@ -1566,11 +1566,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            concurrency=(1, 2)).to_pandas()
         aud = decode_media(rd.from_arrow(tbl), "audio", fake=False,
                            concurrency=(1, 2)).to_pandas()
-        img["kind"], aud["kind"] = "image", "audio"
+        vid = decode_media(rd.from_arrow(tbl), "video", fake=False,
+                           stride_ms=80, concurrency=(1, 2)).to_pandas()
+        # one row per sampled frame -> collapse to one checksum per video
+        vid = vid.groupby("media_id", as_index=False) \
+            .agg(checksum=("feature", lambda fs: round(
+                float(sum(np.sum(f) for f in fs)), 6)))
+        img["kind"], aud["kind"], vid["kind"] = "image", "audio", "video"
         img["checksum"] = [round(float(np.sum(f)), 6) for f in img["feature"]]
         aud["checksum"] = [round(float(np.sum(f)), 6) for f in aud["feature"]]
         cols = ["media_id", "kind", "checksum"]
-        out = pd.concat([img[cols], aud[cols]])
+        out = pd.concat([img[cols], aud[cols], vid[cols]])
         return out.sort_values("media_id").reset_index(drop=True)
 
     def stochastic_qpp(sf_dir: str):

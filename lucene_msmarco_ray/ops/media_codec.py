@@ -184,6 +184,42 @@ def image_feature(img: np.ndarray, dim: int) -> np.ndarray:
     return pooled.ravel()[:dim].astype(np.float32)
 
 
+MPNG_MAGIC = b"MPNG"
+
+
+def encode_mpng(frames, frame_interval_ms: int = 40, filters=None) -> bytes:
+    """list of (h, w, ch) uint8 frames → motion-PNG container bytes:
+    ``b'MPNG' + u32 n_frames + u32 interval_ms`` then per frame
+    ``u32 length + PNG``. A deliberately simple container (MJPEG-style,
+    PNG frames) so video-frame sampling can run REAL parse/decode without
+    an external codec library."""
+    parts = [MPNG_MAGIC, struct.pack("<II", len(frames), frame_interval_ms)]
+    for f in frames:
+        png = encode_png(f, filters=filters)
+        parts.append(struct.pack("<I", len(png)))
+        parts.append(png)
+    return b"".join(parts)
+
+
+def parse_mpng(payload: bytes) -> tuple[int, list[tuple[int, int]]]:
+    """→ (frame_interval_ms, [(offset, length) per frame]) WITHOUT
+    decoding any frame — stride sampling then inflates ONLY the sampled
+    frames' PNG bytes (at scale most frames are skipped, so parse must be
+    O(container index), not O(decoded pixels))."""
+    if payload[:4] != MPNG_MAGIC:
+        raise ValueError("not an MPNG payload")
+    n, interval = struct.unpack_from("<II", payload, 4)
+    spans, off = [], 12
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        spans.append((off, ln))
+        off += ln
+    if off != len(payload):
+        raise ValueError("trailing bytes in MPNG payload")
+    return interval, spans
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → (mono float64 samples in [-1, 1], sample_rate). 16-bit
     PCM via the stdlib ``wave`` reader; multi-channel is mean-downmixed."""

@@ -1,15 +1,15 @@
 """Multimodal column operators — image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-Image and audio decode are REAL: PNG via stdlib zlib + numpy scanline
-unfiltering and 16-bit PCM WAV via stdlib ``wave`` (``ops.media_codec``) —
+Image, audio AND video decode are REAL: PNG via stdlib zlib + numpy
+scanline unfiltering, 16-bit PCM WAV via stdlib ``wave``, and video via
+the MPNG container (MJPEG-style length-prefixed PNG frames; parse is
+O(index), only sampled frames are inflated) — all in ``ops.media_codec``,
 no external media library needed. ``fake=True`` keeps the deterministic
-payload-seeded stub for arbitrary-bytes tests. Video decode stays STUBBED
-(``NotImplementedError`` unless ``fake=True``): container/codec parsing
-genuinely needs libraries absent from this environment; the Ray-side
-plumbing — schema handling, actor signature, batch sizing, per-frame output
-layout — is real and tested, and a real kernel drops into ``__call__``
-without touching the pipeline shape.
+payload-seeded stub for arbitrary-bytes tests. Standard containers
+(JPEG/MP4/H.264) genuinely need libraries absent from this environment;
+their kernels would drop into the same ``__call__`` without touching the
+pipeline shape.
 
 Design notes for 100 TB: binary payloads make rows wide — callers should
 cap ``batch_size`` (default 32 here vs thousands for text) and keep
@@ -123,28 +123,47 @@ class AudioFeatureStage:
 
 class VideoFrameSampleStage:
     """binary video → one row per sampled frame (media_id, frame_idx,
-    feature). Frame sampling is deterministic: every ``stride_ms``."""
+    feature). Real mode parses the MPNG container (``ops.media_codec``:
+    MJPEG-style length-prefixed PNG frames), samples every ``stride_ms``
+    of source time, and decodes ONLY the sampled frames — ``frame_idx`` is
+    the source frame index. Fake mode keeps the payload-seeded stub for
+    arbitrary-bytes payloads (``frame_idx`` = 0..n-1 over ``duration_ms``).
+    """
 
     def __init__(self, dim: int = 64, stride_ms: int = 1000,
                  max_frames: int = 16, fake: bool = False):
         self.dim, self.stride_ms, self.max_frames = dim, stride_ms, max_frames
+        self.fake = fake
         if not fake:
-            raise NotImplementedError(
-                "video decoding requires a codec library not present in "
-                "this environment; pass fake=True for the deterministic stub")
+            from .media_codec import decode_png, image_feature, parse_mpng
+            self._parse = parse_mpng
+            self._decode = decode_png
+            self._feature = image_feature
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, idxs, feats = [], [], []
         for mid, payload, dur in zip(batch["media_id"].to_pylist(),
                                      batch["payload"].to_pylist(),
                                      batch["duration_ms"].to_pylist()):
-            n = min(self.max_frames,
-                    max(1, (dur if dur and dur > 0 else 1000) // self.stride_ms))
-            for i in range(n):
+            if self.fake:
+                n = min(self.max_frames,
+                        max(1, (dur if dur and dur > 0 else 1000)
+                            // self.stride_ms))
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    feats.append(
+                        _fake_vector(payload + i.to_bytes(4, "little"),
+                                     self.dim).tolist())
+                continue
+            interval, spans = self._parse(payload)
+            stride = max(1, self.stride_ms // max(1, interval))
+            for i in list(range(0, len(spans), stride))[:self.max_frames]:
+                off, ln = spans[i]
+                img = self._decode(payload[off:off + ln])
                 ids.append(mid)
                 idxs.append(i)
-                feats.append(_fake_vector(payload + i.to_bytes(4, "little"),
-                                          self.dim).tolist())
+                feats.append(self._feature(img, self.dim).tolist())
         return pa.table({"media_id": pa.array(ids, pa.int64()),
                          "frame_idx": pa.array(idxs, pa.int32()),
                          "feature": pa.array(feats, pa.list_(pa.float32()))})
@@ -174,8 +193,8 @@ def synth_media_table(n: int, seed: int = 3) -> pa.Table:
 def synth_real_media_table(n: int, seed: int = 3) -> pa.Table:
     """Deterministic REAL media rows: PNG payloads (random pixels, per-row
     filter types cycling 0-4 so every unfilter path runs) and 16-bit PCM
-    WAV payloads (sine + noise). Video rows keep opaque bytes (decode is
-    stubbed). Same schema as ``synth_media_table``."""
+    WAV payloads (sine + noise), and MPNG video payloads (random PNG
+    frames at 40 ms intervals). Same schema as ``synth_media_table``."""
     from .media_codec import encode_png, encode_wav
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
@@ -200,9 +219,17 @@ def synth_real_media_table(n: int, seed: int = 3) -> pa.Table:
             payload = encode_wav(sig, rate)
             width = height = -1
         else:
-            payload = rng.bytes(256)
-            width = height = -1
-            dur = int(rng.integers(500, 20_000))
+            from .media_codec import encode_mpng
+            nf = int(rng.integers(3, 11))
+            h = int(rng.integers(8, 24))
+            w = int(rng.integers(8, 24))
+            interval = 40
+            frames = [rng.integers(0, 256, (h, w, 3), np.uint8)
+                      for _ in range(nf)]
+            payload = encode_mpng(frames, frame_interval_ms=interval,
+                                  filters=[y % 5 for y in range(h)])
+            width, height = w, h
+            dur = nf * interval
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)

@@ -50,11 +50,40 @@ def test_fewshot_structure():
     assert find_rank(99, [2, 1]) == -1
 
 
-def test_multimodal_stub_gating():
-    # image/audio are real kernels now; only video decode remains stubbed
+def test_video_frame_sampling_real():
+    """Real MPNG path: stride sampling decodes the right source frames and
+    features match a direct decode of those frames."""
+    import pyarrow as pa
+
+    from lucene_msmarco_ray.ops.media_codec import (
+        decode_png,
+        encode_mpng,
+        image_feature,
+        parse_mpng,
+    )
     from lucene_msmarco_ray.ops.multimodal import VideoFrameSampleStage
-    with pytest.raises(NotImplementedError):
-        VideoFrameSampleStage(fake=False)
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (10, 12, 3), np.uint8) for _ in range(9)]
+    payload = encode_mpng(frames, frame_interval_ms=40)
+    interval, spans = parse_mpng(payload)
+    assert interval == 40 and len(spans) == 9
+    for (off, ln), f in zip(spans, frames):
+        assert np.array_equal(decode_png(payload[off:off + ln]), f)
+
+    batch = pa.table({"media_id": pa.array([5], pa.int64()),
+                      "payload": pa.array([payload], pa.large_binary()),
+                      "duration_ms": pa.array([360], pa.int32())})
+    # stride_ms=120 / interval 40 -> every 3rd frame: indices 0, 3, 6
+    out = VideoFrameSampleStage(dim=16, stride_ms=120, fake=False)(batch)
+    assert out["frame_idx"].to_pylist() == [0, 3, 6]
+    for idx, feat in zip(out["frame_idx"].to_pylist(),
+                         out["feature"].to_pylist()):
+        expect = image_feature(frames[idx], 16)
+        assert np.allclose(np.array(feat, np.float32), expect)
+    # max_frames caps the sample count
+    capped = VideoFrameSampleStage(dim=16, stride_ms=40, max_frames=4,
+                                   fake=False)(batch)
+    assert capped["frame_idx"].to_pylist() == [0, 1, 2, 3]
 
 
 def test_png_roundtrip_all_filters_and_channels():
