@@ -105,7 +105,7 @@ def run_bench() -> dict:
         "bm25_topk", "term_stats", "dedup_exact", "token_count",
         "ann_bruteforce", "minhash_pairs", "simhash_pairs", "ann_ivf",
         "lm_doc_weights", "sessionize", "sessionize_chunked", "asof_join",
-        "range_join")
+        "range_join", "curate_corpus")
     import __ray_entry__ as e
     sys.modules.setdefault("__ray_entry__", e)
     qmap = e.queries()
