@@ -78,6 +78,12 @@ def main():
             continue
         ok_rows = len(mine) == len(oracle)
         ok_cols = list(mine.columns) == list(oracle.columns)
+        # the driver's value-hash is dtype-sensitive: int64 1 and float64
+        # 1.0 hash differently even when assert_frame_equal(check_dtype=
+        # False) passes — the exact blind spot that hid the round-2
+        # asof_join int->float widening. Compare dtype KINDS too.
+        ok_dtypes = ok_cols and all(
+            mine[c].dtype.kind == oracle[c].dtype.kind for c in mine.columns)
         ok_vals = False
         if ok_rows and ok_cols:
             try:
@@ -87,14 +93,22 @@ def main():
                 ok_vals = True
             except AssertionError as ex:
                 msg = str(ex).splitlines()[0]
-        status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        status = "OK" if (ok_rows and ok_cols and ok_dtypes and ok_vals) \
+            else "FAIL"
         if status == "FAIL":
             failures.append(name)
         print(f"[{status}] {name}: rows {len(mine)}/{len(oracle)} "
-              f"cols_match={ok_cols} vals={ok_vals}  ({el:.1f}s)")
+              f"cols_match={ok_cols} dtypes={ok_dtypes} vals={ok_vals}  "
+              f"({el:.1f}s)")
         if not ok_cols:
             print(f"    engine cols: {list(mine.columns)}")
             print(f"    oracle cols: {list(oracle.columns)}")
+        elif not ok_dtypes:
+            bad = [c for c in mine.columns
+                   if mine[c].dtype.kind != oracle[c].dtype.kind]
+            for c in bad:
+                print(f"    dtype kind mismatch {c}: engine "
+                      f"{mine[c].dtype} vs oracle {oracle[c].dtype}")
         elif ok_rows and not ok_vals:
             print(f"    {msg}")
             diff = (mine != oracle).any(axis=1)
