@@ -1459,6 +1459,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 columns=["ts", "event_type", "value"])
         return windowed_agg(ds, window_seconds=3600)
 
+    def sliding_window_gate(sf_dir: str):
+        from lucene_msmarco_ray.ops.events import sliding_window_agg
+        ds = _read16(sf_dir, "events.parquet",
+                     ["event_type", "ts", "value"])
+        return sliding_window_agg(ds, window_seconds=3600, hop_seconds=900)
+
     def asof_join_gate(sf_dir: str):
         """Each click matched to the user's latest preceding (or same-
         instant) view — DuckDB ASOF LEFT JOIN is the oracle."""
@@ -1689,6 +1695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": sessionize_gate,
         "sessionize_chunked": sessionize_chunked_gate,
         "windowed_agg": windowed_agg_gate,
+        "sliding_window": sliding_window_gate,
         "asof_join": asof_join_gate,
         "range_join": range_join_gate,
         "qpp_correlation": qpp_correlation,
@@ -1888,6 +1895,22 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
   (epoch_us(ts) // 3600000000)::BIGINT AS window_id,
   count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
 FROM events GROUP BY 1, 2""",
+        # sliding window w covers [w*hop, w*hop+window): event in cell c
+        # (c = ts//hop) feeds windows w = c-3 .. c (window/hop = 4 hops)
+        # value sums in exact int64 hundredths (the engine's fixed-point
+        # contract) so the float result is bit-identical under any
+        # summation order
+        "sliding_window": """WITH cells AS (
+  SELECT event_type, (epoch_us(ts) // 900000000)::BIGINT AS cell,
+         count(*)::BIGINT AS n,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s
+  FROM events GROUP BY 1, 2),
+rep AS (
+  SELECT event_type, cell - i AS window_id, n, s
+  FROM cells CROSS JOIN (SELECT unnest(range(0, 4)) AS i))
+SELECT event_type, window_id, sum(n)::BIGINT AS n_events,
+       sum(s) / 100.0 AS total_value
+FROM rep GROUP BY 1, 2""",
         "asof_join": """SELECT c.user_id, c.event_id,
        v.event_id AS view_event
 FROM (SELECT * FROM events WHERE event_type = 'click') c

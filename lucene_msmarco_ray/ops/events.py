@@ -359,3 +359,62 @@ def windowed_agg(ds, window_seconds: int = 3600, key_col: str = "event_type",
             .groupby([key_col, "window_id"])
             .aggregate(Sum("n"), Sum("s"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def sliding_window_agg(ds, window_seconds: int = 3600,
+                       hop_seconds: int = 900,
+                       key_col: str = "event_type", ts_col: str = "ts",
+                       value_col: str = "value"):
+    """Sliding/hopping-window aggregate → (event_type, window_id, n_events,
+    total_value); window ``w`` covers ``[w*hop, w*hop + window)``.
+
+    Pane optimization (the published panes/slices technique for overlapping
+    windows): events are first aggregated into hop-sized CELLS inside the
+    map stage — one partial row per (key, cell) — and only those cell
+    partials are replicated to the ``window/hop`` windows they feed. Shuffle
+    volume is therefore O(keys × cells × window/hop) partial rows; the
+    events themselves are never replicated, which is what makes a 10×
+    overlap affordable at 100 TB. Requires ``window_seconds`` divisible by
+    ``hop_seconds`` (cells must tile windows exactly)."""
+    if window_seconds % hop_seconds:
+        raise ValueError("window_seconds must be a multiple of hop_seconds")
+    hop_us = int(hop_seconds) * 1_000_000
+    nrep = window_seconds // hop_seconds
+
+    def cell_partials(batch: pa.Table) -> pa.Table:
+        c = _ts_us(batch[ts_col]) // hop_us
+        # fixed-point cents: value sums must be bit-identical regardless of
+        # the (engine- and partitioning-dependent) addition order, so sum
+        # exact int64 hundredths and divide once at the end.
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"k": batch[key_col].to_pandas(), "c": c,
+                           "v": cents})
+        agg = df.groupby(["k", "c"], sort=True).agg(
+            n=("v", "size"), s=("v", "sum")).reset_index()
+        # replicate CELL PARTIALS (not events) to every window they feed:
+        # cell c covers [c*hop, (c+1)*hop) -> windows w = c-nrep+1 .. c
+        rep = np.repeat(np.arange(len(agg)), nrep)
+        w = agg["c"].to_numpy(np.int64)[rep] \
+            - np.tile(np.arange(nrep, dtype=np.int64), len(agg))
+        return pa.table({key_col: pa.array(agg["k"].astype(str)[rep]),
+                         "window_id": pa.array(w),
+                         "n": pa.array(agg["n"].to_numpy(np.int64)[rep]),
+                         "s": pa.array(agg["s"].to_numpy(np.int64)[rep])})
+
+    from ray.data.aggregate import Sum
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            key_col: batch[key_col],
+            "window_id": batch["window_id"],
+            "n_events": batch["sum(n)"].cast(pa.int64()),
+            "total_value": pc.divide(
+                batch["sum(s)"].cast(pa.float64()), 100.0),
+        })
+
+    return (ds.map_batches(cell_partials, batch_format="pyarrow")
+            .groupby([key_col, "window_id"])
+            .aggregate(Sum("n"), Sum("s"))
+            .map_batches(finish, batch_format="pyarrow"))

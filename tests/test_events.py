@@ -84,6 +84,46 @@ def test_windowed_agg_goldens(ray_session):
     assert got == [("click", 2, 4.0), ("click", 1, 4.0), ("view", 1, 8.0)]
     assert out["window_id"].iloc[1] == out["window_id"].iloc[0] + 1
 
+def test_sliding_window_agg(ray_session):
+    """Pane-optimized hopping windows equal a brute-force per-window scan,
+    and window/hop divisibility is enforced."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.events import sliding_window_agg
+    rng = np.random.default_rng(5)
+    rows = [_ev(i, 1, float(rng.integers(0, 20_000)),
+                float(rng.integers(1, 9)),
+                "click" if i % 3 else "view") for i in range(120)]
+    ds = rd.from_items(rows, override_num_blocks=3)
+    win, hop = 3600, 900
+    out = sliding_window_agg(ds, window_seconds=win, hop_seconds=hop) \
+        .to_pandas().sort_values(["event_type", "window_id"]) \
+        .reset_index(drop=True)
+
+    df = pd.DataFrame([{"event_type": r["event_type"],
+                        "ts_us": int(r["ts"].replace(
+                            tzinfo=dt.timezone.utc).timestamp() * 1e6),
+                        "value": r["value"]} for r in rows])
+    expect = []
+    for key, g in df.groupby("event_type"):
+        cells = g["ts_us"] // (hop * 1_000_000)
+        for w in range(int(cells.min()) - 3, int(cells.max()) + 1):
+            lo, hi = w * hop * 1e6, (w * hop + win) * 1e6
+            m = g[(g["ts_us"] >= lo) & (g["ts_us"] < hi)]
+            if len(m):
+                expect.append((key, w, len(m), round(m["value"].sum(), 6)))
+    expect.sort()
+    got = list(zip(out["event_type"], out["window_id"],
+                   out["n_events"], out["total_value"]))
+    assert got == expect
+    # every event appears in exactly window/hop = 4 windows
+    assert out["n_events"].sum() == 4 * len(rows)
+    with pytest.raises(ValueError):
+        sliding_window_agg(ds, window_seconds=3600, hop_seconds=1000)
+
+
 def test_sessionize_forced_skew(ray_session):
     """One hot user with 100x everyone else's events: output stays correct
     and the hot-user detector flags exactly that user."""
