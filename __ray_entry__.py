@@ -1465,6 +1465,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      ["event_type", "ts", "value"])
         return sliding_window_agg(ds, window_seconds=3600, hop_seconds=900)
 
+    def topk_per_group_gate(sf_dir: str):
+        """Top-3 orders per customer by price (partial-top-k combiner —
+        the shuffle only ever moves ≤ k rows per group per block)."""
+        from lucene_msmarco_ray.ops.relational import topk_per_group
+        ds = _read16(sf_dir, "orders.parquet",
+                     ["o_custkey", "o_orderkey", "o_totalprice"])
+        return topk_per_group(ds, ["o_custkey"], "o_totalprice", 3,
+                              tie_cols=["o_orderkey"])
+
+    def group_distinct_gate(sf_dir: str):
+        """COUNT(DISTINCT l_suppkey) per return flag — batch-local dedup
+        before the pair exchange, pre-counted partials after it."""
+        from lucene_msmarco_ray.ops.relational import group_distinct_count
+        ds = _read16(sf_dir, "lineitem.parquet",
+                     ["l_returnflag", "l_suppkey"])
+        return group_distinct_count(ds, ["l_returnflag"], "l_suppkey")
+
+    def hash_sample_gate(sf_dir: str):
+        """Deterministic 10% multiplicative-hash sample of orders —
+        shuffle-free, parallelism-invariant, SQL-replayable arithmetic."""
+        from lucene_msmarco_ray.ops.relational import hash_sample
+        ds = _read16(sf_dir, "orders.parquet",
+                     ["o_orderkey", "o_custkey", "o_totalprice"])
+        return hash_sample(ds, "o_orderkey", 0.1)
+
+    def group_quantile_gate(sf_dir: str):
+        """Exact p50/p90 of l_extendedprice per return flag via the
+        two-pass order-preserving-bucket algorithm (quantile_disc
+        semantics — always an element of the data, so bit-stable)."""
+        from lucene_msmarco_ray.ops.relational import group_quantile
+        ds = _read16(sf_dir, "lineitem.parquet",
+                     ["l_returnflag", "l_extendedprice"])
+        return group_quantile(ds, ["l_returnflag"], "l_extendedprice",
+                              [0.5, 0.9], ["p50", "p90"])
+
     def asof_join_gate(sf_dir: str):
         """Each click matched to the user's latest preceding (or same-
         instant) view — DuckDB ASOF LEFT JOIN is the oracle."""
@@ -1696,6 +1731,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_chunked": sessionize_chunked_gate,
         "windowed_agg": windowed_agg_gate,
         "sliding_window": sliding_window_gate,
+        "topk_per_group": topk_per_group_gate,
+        "group_distinct": group_distinct_gate,
+        "hash_sample": hash_sample_gate,
+        "group_quantile": group_quantile_gate,
         "asof_join": asof_join_gate,
         "range_join": range_join_gate,
         "qpp_correlation": qpp_correlation,
@@ -1911,6 +1950,26 @@ rep AS (
 SELECT event_type, window_id, sum(n)::BIGINT AS n_events,
        sum(s) / 100.0 AS total_value
 FROM rep GROUP BY 1, 2""",
+        "topk_per_group": """SELECT o_custkey, o_orderkey, o_totalprice,
+       rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC,
+                                     o_orderkey)::BIGINT AS rank
+  FROM orders) WHERE rank <= 3""",
+        "group_distinct": """SELECT l_returnflag,
+       count(DISTINCT l_suppkey)::BIGINT AS n_distinct
+FROM lineitem GROUP BY 1""",
+        # the engine's multiplicative hash replayed in HUGEINT modular
+        # arithmetic; 429496729 = floor(0.1 * 2^32)
+        "hash_sample": """SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE (CAST(o_orderkey AS HUGEINT) % 4294967296 * 2654435761)
+      % 4294967296 < 429496729""",
+        "group_quantile": """SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.5) AS p50,
+       quantile_disc(l_extendedprice, 0.9) AS p90
+FROM lineitem GROUP BY 1""",
         "asof_join": """SELECT c.user_id, c.event_id,
        v.event_id AS view_event
 FROM (SELECT * FROM events WHERE event_type = 'click') c

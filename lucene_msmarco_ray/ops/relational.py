@@ -1,0 +1,238 @@
+"""General relational operators for large-scale curation pipelines:
+per-group top-k, per-group distinct counts, deterministic hash sampling,
+and an exact distributed quantile.
+
+These fill the generic "wide table" gaps around the IR-specific operators
+(SURVEY.md §2.9/§2.12): every one is expressed so the data that crosses a
+shuffle boundary is a bounded REDUCTION of the input, never the input
+itself.
+
+Scale shapes:
+- ``topk_per_group``: each map batch emits at most k rows per group, so
+  the single groupby exchange moves O(k · groups · blocks) rows — the
+  classic partial-top-k combiner.
+- ``group_distinct_count``: batch-local dedup before the pair exchange;
+  the second (group-level) exchange sums pre-counted partials, so it is
+  O(groups · blocks) tiny rows.
+- ``hash_sample``: stateless row filter — no shuffle at all, identical
+  output at any parallelism, and the multiplicative-hash arithmetic is
+  replayable in ANSI SQL (the gate oracle runs it in DuckDB HUGEINT).
+- ``group_quantile``: two streaming passes and no row shuffle. Pass A
+  histograms values into 2^16 order-preserving buckets per group (an
+  order-preserving bijection from float64 to uint64, top 16 bits); the
+  (group, bucket) count table is the only thing collected. Pass B scans
+  again, keeps only each group's target bucket, and selects the exact
+  rank within it. Driver state is O(groups × occupied buckets); the
+  per-group sort in pass B is bounded by the largest single bucket, i.e.
+  the mass within one 2^-16 slice of the value range (document skew
+  caveat: a group whose values are ALL identical puts them in one
+  bucket — the rank-select then still answers without a full sort, see
+  ``_pick_rank``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Knuth's multiplicative hash constant (2^32 / golden ratio) — public
+# domain arithmetic, exactly replayable in SQL with HUGEINT modular math.
+_KNUTH = 2654435761
+_M32 = 1 << 32
+
+
+def topk_per_group(ds, group_cols, order_col: str, k: int,
+                   descending: bool = True, tie_cols=None):
+    """Top-``k`` rows per group by ``order_col`` with deterministic
+    tie-breaks (``tie_cols`` ascending), plus a 1-based ``rank`` column.
+
+    Equivalent SQL: ``row_number() OVER (PARTITION BY group ORDER BY
+    order_col [DESC], tie_cols) <= k``.
+    """
+    from lucene_msmarco_ray.ops.dedup import coarse_parts
+
+    group_cols = list(group_cols)
+    tie_cols = list(tie_cols or [])
+    by = [order_col] + tie_cols
+    asc = [not descending] + [True] * len(tie_cols)
+    num_parts = coarse_parts()
+
+    # Final reduce groups by a COARSE hash partition, not per group: one
+    # vectorized pandas groupby-head per partition instead of one Python
+    # call per group (15k tiny groups → num_parts calls; measured 12.5 s
+    # → ~1 s on the sf0.1 gate).
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(by, ascending=asc, kind="mergesort")
+        out = df.groupby(group_cols, sort=False).head(k).copy()
+        out["__part"] = (pd.util.hash_pandas_object(
+            out[group_cols], index=False).to_numpy()
+            % np.uint64(num_parts)).astype(np.int64)
+        return pa.Table.from_pandas(
+            out, schema=batch.schema.append(pa.field("__part", pa.int64())),
+            preserve_index=False)
+
+    def final_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(group_cols + by,
+                            ascending=[True] * len(group_cols) + asc,
+                            kind="mergesort")
+        out = df.groupby(group_cols, sort=False).head(k).copy()
+        out["rank"] = (out.groupby(group_cols, sort=False).cumcount()
+                       + 1).astype(np.int64)
+        return out.drop(columns="__part").reset_index(drop=True)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(final_part, batch_format="pandas"))
+
+
+def group_distinct_count(ds, group_cols, value_col: str,
+                         output_col: str = "n_distinct"):
+    """Exact COUNT(DISTINCT value) per group.
+
+    Batch-local dedup → one (group, value) exchange that only ever sees
+    already-unique-per-block pairs → batch-local partial counts → a tiny
+    (group) exchange summing them.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    group_cols = list(group_cols)
+    keys = group_cols + [value_col]
+
+    def local_dedup(batch: pa.Table) -> pa.Table:
+        return batch.select(keys).group_by(keys).aggregate([])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        t = batch.select(group_cols).group_by(group_cols) \
+            .aggregate([([], "count_all")])
+        return t.rename_columns(
+            ["__n" if c == "count_all" else c for c in t.column_names])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in group_cols}
+        cols[output_col] = batch["sum(__n)"].cast(pa.int64())
+        return pa.table(cols)
+
+    pairs = (ds.map_batches(local_dedup, batch_format="pyarrow")
+             .groupby(keys).aggregate(Count()))
+    return (pairs.map_batches(partial_counts, batch_format="pyarrow")
+            .groupby(group_cols).aggregate(Sum("__n"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def _mix32(ids: np.ndarray, salt: int) -> np.ndarray:
+    """((id + salt) mod 2^32) * KNUTH mod 2^32 — exact uint64 arithmetic,
+    bit-identical to the HUGEINT form in SQL. Requires ids >= -salt (the
+    masked sum must be the same nonnegative residue both sides compute)."""
+    x = (ids.astype(np.uint64) + np.uint64(salt)) & np.uint64(_M32 - 1)
+    return (x * np.uint64(_KNUTH)) % np.uint64(_M32)
+
+
+def hash_sample(ds, id_col: str, fraction: float, salt: int = 0):
+    """Deterministic ``fraction`` sample: keep rows whose multiplicative
+    hash of ``id_col`` falls below ``floor(fraction * 2^32)``.
+
+    Stateless and shuffle-free; the same (id, salt) always lands on the
+    same side, so samples are reproducible across runs, resumable, and
+    consistent between tables sharing the id. SQL replay:
+    ``((id % 4294967296 + salt) % 4294967296 * 2654435761) % 4294967296
+    < floor(fraction * 4294967296)`` in HUGEINT.
+    """
+    thr = np.uint64(int(fraction * _M32))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(_mix32(ids, salt) < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _order_key(vals: np.ndarray) -> np.ndarray:
+    """Order-preserving bijection float64 → uint64 (IEEE-754 total order
+    over finite values): flip all bits of negatives, flip only the sign
+    bit of non-negatives."""
+    bits = vals.astype(np.float64).view(np.uint64)
+    neg = (bits >> np.uint64(63)).astype(bool)
+    return np.where(neg, ~bits, bits | np.uint64(1 << 63))
+
+
+def group_quantile(ds, group_cols, value_col: str, qs,
+                   output_cols=None):
+    """Exact per-group quantiles of a float64 column, DuckDB
+    ``quantile_disc`` semantics: the value at 1-based ascending rank
+    ``max(1, ceil(q*n))`` — always an element of the data, so results are
+    bit-stable (no interpolation arithmetic).
+
+    Two streaming passes, no row shuffle (see module docstring).
+    """
+    from ray.data.aggregate import Sum
+
+    group_cols = list(group_cols)
+    qs = list(qs)
+    output_cols = list(output_cols or [f"q{int(q * 100)}" for q in qs])
+    if len(output_cols) != len(qs):
+        raise ValueError("output_cols must match qs")
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        b = (_order_key(batch[value_col].to_numpy(zero_copy_only=False))
+             >> np.uint64(48)).astype(np.int64)
+        t = batch.select(group_cols).append_column("__b", pa.array(b))
+        t = t.group_by(group_cols + ["__b"]).aggregate([([], "count_all")])
+        return t.rename_columns(
+            ["__n" if c == "count_all" else c for c in t.column_names])
+
+    hist = (ds.map_batches(bucket_counts, batch_format="pyarrow")
+            .groupby(group_cols + ["__b"]).aggregate(Sum("__n"))
+            .to_pandas())
+    hist = hist.sort_values(group_cols + ["__b"]).reset_index(drop=True)
+    hist["__n"] = hist["sum(__n)"]
+
+    # Driver-side plan: per (group, q) → (target bucket, rank inside it).
+    # This table is O(groups × occupied buckets) — the REDUCTION, not the
+    # data — and the per-group targets dict is tiny.
+    targets: dict[tuple, list] = {}
+    for gkey, g in hist.groupby(group_cols, sort=False):
+        gkey = gkey if isinstance(gkey, tuple) else (gkey,)
+        cum = g["__n"].cumsum()
+        n = int(cum.iloc[-1])
+        plan = []
+        for q in qs:
+            r = max(1, math.ceil(q * n))
+            i = int(np.searchsorted(cum.to_numpy(), r))
+            plan.append((int(g["__b"].iloc[i]),
+                         r - int(cum.iloc[i - 1]) if i else r))
+        targets[gkey] = plan
+
+    wanted_df = pd.DataFrame(
+        [gk + (b,) for gk, plan in targets.items() for b, _ in plan],
+        columns=group_cols + ["__b"]).drop_duplicates()
+
+    def keep_target(batch: pa.Table) -> pa.Table:
+        b = (_order_key(batch[value_col].to_numpy(zero_copy_only=False))
+             >> np.uint64(48)).astype(np.int64)
+        gdf = batch.select(group_cols).to_pandas()
+        gdf["__b"] = b
+        # vectorized membership: left merge against the (tiny) target
+        # (group, bucket) table preserves left row order
+        mask = gdf.merge(wanted_df, how="left", on=group_cols + ["__b"],
+                         indicator=True)["_merge"].eq("both").to_numpy()
+        return batch.filter(pa.array(mask)).select(
+            group_cols + [value_col]).append_column(
+                "__b", pa.array(b[mask]))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        gkey = tuple(df.iloc[0][c] for c in group_cols)
+        out = {c: [df.iloc[0][c]] for c in group_cols}
+        for (b, rank), col in zip(targets[gkey], output_cols):
+            v = df.loc[df["__b"] == b, value_col].to_numpy()
+            # rank-select without a full sort (np.partition is O(n))
+            out[col] = [float(np.partition(v, rank - 1)[rank - 1])]
+        return pd.DataFrame(out)
+
+    return (ds.map_batches(keep_target, batch_format="pyarrow")
+            .groupby(group_cols)
+            .map_groups(pick, batch_format="pandas"))
