@@ -88,6 +88,37 @@ def _ensure_index(sf_dir: str) -> str:
     return out
 
 
+def _ensure_appended_index(sf_dir: str) -> str:
+    """Gate index built INCREMENTALLY: base build over the first half of
+    documents, then `append_documents` for the rest — O(new docs), old
+    segments untouched. Downstream read-back must equal the full-corpus
+    oracle."""
+    key = sf_dir + "#appended"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from lucene_msmarco_ray.config import EngineConfig
+    from lucene_msmarco_ray.index.append import append_documents
+    from lucene_msmarco_ray.index.build import build_index, file_lineage
+    out = _index_dir_for(sf_dir) + "_appended"
+    src = os.path.join(sf_dir, "documents.parquet")
+    half = _pq.read_metadata(src).num_rows // 2
+    cfg = EngineConfig(analyzer="simple", num_shards=8)
+    lin = file_lineage([src])
+    base = rd.read_parquet(src, columns=["doc_id", "text"]) \
+        .filter(expr=f"doc_id < {half}")
+    build_index(base, out, cfg, text_col="text", id_col="doc_id",
+                input_lineage=lin + f"#base<{half}")
+    rest = rd.read_parquet(src, columns=["doc_id", "text"]) \
+        .filter(expr=f"doc_id >= {half}")
+    append_documents(out, rest, text_col="text", id_col="doc_id",
+                     pid="rest", input_lineage=lin + f"#rest>={half}")
+    _INDEX_CACHE[key] = out
+    return out
+
+
 def _ensure_salted_index(sf_dir: str) -> str:
     """Gate index variant with small doc-range salt buckets so the
     doc-partitioned sharded search path has REAL shards to exercise
@@ -1215,6 +1246,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
         return t.rename_columns(["term", "df", "cf"]).sort_by("term")
 
+    def index_append(sf_dir: str):
+        """Incremental build+append (half the corpus each) read back as
+        per-term df/cf — must equal the SAME full-corpus term-stats
+        oracle as a one-shot build (the old segments were never
+        rewritten; appended salt runs aggregate like any other runs)."""
+        idx = _ensure_appended_index(sf_dir)
+        t = pads.dataset(os.path.join(idx, "segments")).to_table(
+            columns=["term", "df", "cf"]) \
+            .group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+        return t.rename_columns(["term", "df", "cf"]).sort_by("term")
+
     def doc_stats(sf_dir: str):
         idx = _ensure_index(sf_dir)
         base = os.path.join(idx, "staged")
@@ -1704,6 +1746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "term_stats": term_stats,
+        "index_append": index_append,
         "doc_stats": doc_stats,
         "bm25_topk": bm25_topk,
         "bm25_topk_sharded": bm25_topk_sharded,
@@ -1767,6 +1810,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "term_stats": f"""WITH {_TOKS}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM toks2 GROUP BY term""",
+
+        # the appended index must reproduce the FULL corpus term stats
+        "index_append": f"""WITH {_TOKS}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
 FROM toks2 GROUP BY term""",
 

@@ -46,6 +46,19 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--text-col", default="content")
     b.add_argument("--no-resume", action="store_true")
 
+    a = sub.add_parser("append", help="incrementally add a delta corpus "
+                       "to an existing index (O(new docs); old segments "
+                       "untouched; analysis chain comes from the index "
+                       "manifest)")
+    a.add_argument("--corpus", required=True,
+                   help="parquet file/dir of NEW documents (input_hint "
+                        "schema); ids are assigned after the index's "
+                        "current num_docs")
+    a.add_argument("--index", required=True)
+    a.add_argument("--text-col", default="content")
+    a.add_argument("--pid", default=None,
+                   help="stable partition id for resumable appends")
+
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
     s.add_argument("--queries", required=True, help="TSV qid\\ttext")
@@ -98,6 +111,22 @@ def main(argv: list[str] | None = None) -> int:
         stats = build_index(ds, args.index, cfg, text_col=text_col,
                             id_col="doc_id", key_col="doc_key",
                             resume=not args.no_resume)
+        print(json.dumps(stats))
+        ray.shutdown()
+
+    elif args.cmd == "append":
+        ray = _init_ray(args.num_cpus)
+        from .index.append import append_documents
+        from .index.build import file_lineage
+        from .sources.corpus import _expand, read_code_corpus
+        with open(os.path.join(args.index, "stats.json")) as f:
+            n0 = int(json.load(f)["num_docs"])
+        ds = read_code_corpus(args.corpus, columns=[args.text_col],
+                              id_offset=n0)
+        stats = append_documents(
+            args.index, ds, text_col=args.text_col, id_col="doc_id",
+            key_col="doc_key", pid=args.pid,
+            input_lineage=file_lineage(_expand(args.corpus)))
         print(json.dumps(stats))
         ray.shutdown()
 

@@ -267,6 +267,85 @@ def _staged_dirs(out_dir: str, kind: str) -> list[str]:
     )
 
 
+def stage_tokenize_partition(out_dir: str, man: Manifest, pid: str, ds,
+                             cfg: EngineConfig, *, text_col: str,
+                             id_col: str, key_col: str | None,
+                             in_sha: str | None) -> bool:
+    """Stage A for ONE build partition (shared by :func:`build_index` and
+    :func:`append.append_documents`): tokenize → partitioned staged write →
+    lineage fold. Returns True if the partition was (re)built, False if the
+    manifest checkpoint was reused."""
+    if man.partition_done(pid, in_sha):
+        return False
+    part_dir = os.path.join(out_dir, "staged", f"part={pid}")
+    tmp_dir = part_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(part_dir, ignore_errors=True)
+    tok = ds.map_batches(
+        TokenizeStage(cfg, text_col=text_col, id_col=id_col, key_col=key_col),
+        batch_format="pyarrow", batch_size=cfg.tokenize_batch_size,
+        concurrency=cfg.tokenize_concurrency)
+    # NOTE: no min_rows_per_file here — it makes the Write operator
+    # coalesce blocks into a couple of giant single-threaded parquet
+    # encodes (measured 40s vs 6s at 200k docs); file granularity is
+    # already governed by the upstream block size (one per row group)
+    tok.write_parquet(tmp_dir, partition_cols=["kind", "gkey"])
+    os.replace(tmp_dir, part_dir)
+    # lineage + partition stats from the kind=l summary rows the
+    # tokenize stage emitted (one per batch): the driver folds a few
+    # hundred tiny rows — no re-scan of kind=m. XOR of batch XORs ==
+    # XOR of the per-row hashes (associative/commutative), so the
+    # resulting sha is identical to a row-level fold.
+    lin_files = expand_parquet_files([os.path.join(part_dir, "kind=l")])
+    acc = np.zeros(32, dtype=np.uint8)
+    nrows = 0
+    dl_total = 0
+    for f in lin_files:
+        t = pq.read_table(f, columns=["sha256", "doc_id", "tf"])
+        for h in t["sha256"].to_pylist():
+            acc ^= np.frombuffer(bytes.fromhex(h), dtype=np.uint8)
+        dl_total += int(t["doc_id"].to_numpy(zero_copy_only=False).sum())
+        nrows += int(t["tf"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64).sum())
+    import hashlib as _hashlib
+    sha = _hashlib.sha256(acc.tobytes()).hexdigest()
+    man.mark_partition(pid, sha, nrows, [], input_sha=in_sha,
+                       total_len=dl_total)
+    man.save()
+    return True
+
+
+def count_distinct_terms(seg_dir: str, multi_run: bool) -> int:
+    """Vocabulary size of an index's segment tree. ``multi_run=False`` may
+    use footer row counts (one segment row per term); otherwise distinct
+    terms are counted per shard in parallel — terms never cross shards, so
+    one task's memory is its shard's vocab slice (at extreme vocab sizes
+    swap in a sketch)."""
+    if not multi_run:
+        return sum(
+            pq.read_metadata(os.path.join(root, f)).num_rows
+            for root, _, fs in os.walk(seg_dir) for f in fs
+            if f.endswith(".parquet"))
+    shard_dirs = sorted(
+        os.path.join(seg_dir, e) for e in os.listdir(seg_dir)
+        if e.startswith("shard="))
+
+    def _distinct_terms(b: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.compute as _pc
+        n = sum(
+            _pc.count_distinct(
+                pads.dataset(d).to_table(columns=["term"])["term"]
+            ).as_py() for d in b["dir"])
+        return pd.DataFrame({"n": [n]})
+
+    parts = rd.from_items(
+        [{"dir": d} for d in shard_dirs],
+        override_num_blocks=max(1, len(shard_dirs))) \
+        .map_batches(_distinct_terms, batch_format="pandas",
+                     batch_size=1).to_pandas()
+    return int(parts["n"].sum())
+
+
 def build_index(
     source,
     out_dir: str,
@@ -318,47 +397,11 @@ def build_index(
                   for p in partitions]
 
     # ---- stage A: tokenize per partition (resumable) ----
-    staged_base = os.path.join(out_dir, "staged")
     any_rebuilt = False
     for pid, ds, in_sha in partitions:
-        if man.partition_done(pid, in_sha):
-            continue
-        any_rebuilt = True
-        part_dir = os.path.join(staged_base, f"part={pid}")
-        tmp_dir = part_dir + ".tmp"
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        shutil.rmtree(part_dir, ignore_errors=True)
-        tok = ds.map_batches(
-            TokenizeStage(cfg, text_col=text_col, id_col=id_col, key_col=key_col),
-            batch_format="pyarrow", batch_size=cfg.tokenize_batch_size,
-            concurrency=cfg.tokenize_concurrency)
-        # NOTE: no min_rows_per_file here — it makes the Write operator
-        # coalesce blocks into a couple of giant single-threaded parquet
-        # encodes (measured 40s vs 6s at 200k docs); file granularity is
-        # already governed by the upstream block size (one per row group)
-        tok.write_parquet(tmp_dir, partition_cols=["kind", "gkey"])
-        os.replace(tmp_dir, part_dir)
-        # lineage + partition stats from the kind=l summary rows the
-        # tokenize stage emitted (one per batch): the driver folds a few
-        # hundred tiny rows — no re-scan of kind=m. XOR of batch XORs ==
-        # XOR of the per-row hashes (associative/commutative), so the
-        # resulting sha is identical to a row-level fold.
-        lin_files = expand_parquet_files([os.path.join(part_dir, "kind=l")])
-        acc = np.zeros(32, dtype=np.uint8)
-        nrows = 0
-        dl_total = 0
-        for f in lin_files:
-            t = pq.read_table(f, columns=["sha256", "doc_id", "tf"])
-            for h in t["sha256"].to_pylist():
-                acc ^= np.frombuffer(bytes.fromhex(h), dtype=np.uint8)
-            dl_total += int(t["doc_id"].to_numpy(zero_copy_only=False).sum())
-            nrows += int(t["tf"].to_numpy(zero_copy_only=False)
-                         .astype(np.int64).sum())
-        import hashlib as _hashlib
-        sha = _hashlib.sha256(acc.tobytes()).hexdigest()
-        man.mark_partition(pid, sha, nrows, [], input_sha=in_sha,
-                           total_len=dl_total)
-        man.save()
+        any_rebuilt |= stage_tokenize_partition(
+            out_dir, man, pid, ds, cfg, text_col=text_col, id_col=id_col,
+            key_col=key_col, in_sha=in_sha)
 
     if any_rebuilt:
         # changed/new inputs invalidate the downstream merge checkpoint
@@ -369,9 +412,13 @@ def build_index(
 
     # ---- global stats (I4) — summed from the manifest's per-partition
     # (rows, total_len), recorded by the lineage pass: no re-read of the
-    # meta files. Fallback (manifests written before total_len existed):
+    # meta files. Fold over ALL manifest partitions, not just the ones this
+    # call passed — a resumed build on an index that has since been
+    # APPENDED to (append.append_documents registers extra partitions)
+    # must not shrink the doc stats back to the original build's.
+    # Fallback (manifests written before total_len existed):
     # footer row counts + one parallel column sum.
-    pstats = [man.data["partitions"][pid] for pid, _, _ in partitions]
+    pstats = list(man.data["partitions"].values())
     if all("total_len" in p for p in pstats):
         ndocs = sum(int(p["rows"]) for p in pstats)
         total_len = sum(int(p["total_len"]) for p in pstats)
@@ -422,34 +469,7 @@ def build_index(
         # no read-time benefit (measured 6.5s of the 2M-doc build).
         runs.write_parquet(seg_tmp, partition_cols=["shard", "salt"])
         os.replace(seg_tmp, seg_dir)
-        if n_salt > 1:
-            # distinct terms, counted per shard in parallel (terms never
-            # cross shards). Scale note: one task's memory is its shard's
-            # vocab slice; at extreme vocab sizes swap in a sketch.
-            shard_dirs = sorted(
-                os.path.join(seg_dir, e) for e in os.listdir(seg_dir)
-                if e.startswith("shard="))
-
-            def _distinct_terms(b: pd.DataFrame) -> pd.DataFrame:
-                import pyarrow.compute as _pc
-                n = sum(
-                    _pc.count_distinct(
-                        pads.dataset(d).to_table(columns=["term"])["term"]
-                    ).as_py() for d in b["dir"])
-                return pd.DataFrame({"n": [n]})
-
-            parts = rd.from_items(
-                [{"dir": d} for d in shard_dirs],
-                override_num_blocks=max(1, len(shard_dirs))) \
-                .map_batches(_distinct_terms, batch_format="pandas",
-                             batch_size=1).to_pandas()
-            n_terms = int(parts["n"].sum())
-        else:
-            # single run per term ⇒ row count == vocab (footers only)
-            n_terms = sum(
-                pq.read_metadata(os.path.join(root, f)).num_rows
-                for root, _, fs in os.walk(seg_dir) for f in fs
-                if f.endswith(".parquet"))
+        n_terms = count_distinct_terms(seg_dir, multi_run=n_salt > 1)
         man.mark_merge(cfg.num_shards, {"num_terms": int(n_terms)})
         stats["num_terms"] = int(n_terms)
     else:

@@ -157,15 +157,19 @@ def read_tsv_corpus(paths: str | list[str]) -> rd.Dataset:
 
 def read_code_corpus(paths: str | list[str], columns: list[str] | None = None,
                      key_cols: tuple[str, str, str] = ("repo", "path", "commit"),
-                     ) -> rd.Dataset:
+                     id_offset: int = 0) -> rd.Dataset:
     """Dataset over the code corpus with deterministic ``doc_id``/``doc_key``.
 
     ``columns`` prunes at the read (pass only what the stage needs, e.g.
-    ``["content"]`` + key cols for an index build).
+    ``["content"]`` + key cols for an index build). ``id_offset`` shifts
+    every doc_id — an incremental append reads its delta corpus with
+    ``id_offset = index num_docs`` so ids stay dense across appends.
     """
     plan = corpus_file_plan(paths)
     if not plan:
         raise FileNotFoundError(f"no parquet files under {paths!r}")
+    if id_offset:
+        plan = [{**p, "base": p["base"] + int(id_offset)} for p in plan]
     cols = columns
     if cols is not None:
         cols = sorted(set(cols) | set(key_cols))

@@ -1,0 +1,159 @@
+"""Incremental append: build+append must be search-identical to a full
+rebuild (postings, stats, BM25 scores), resume idempotently, and reject
+non-dense id ranges."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from lucene_msmarco_ray.config import EngineConfig
+from lucene_msmarco_ray.index.append import append_documents
+from lucene_msmarco_ray.index.build import build_index
+from lucene_msmarco_ray.search.scoring import BM25Scorer
+from lucene_msmarco_ray.search.searcher import IndexReader, score_query_taat
+from lucene_msmarco_ray.sources.corpus import read_code_corpus
+from lucene_msmarco_ray.synth import generate_corpus, generate_queries
+
+
+@pytest.fixture(scope="module")
+def corpora(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("appsynth")
+    files = generate_corpus(400, seed=7, n_files=4, out_dir=str(d))
+    cfg = EngineConfig(analyzer="english", num_shards=4, block_size=32,
+                       salt_docs_per_bucket=150)  # boundary mid-bucket
+    full_dir = str(tmp_path_factory.mktemp("idx") / "full")
+    build_index(read_code_corpus(files), full_dir, cfg,
+                text_col="content", id_col="doc_id", key_col="doc_key")
+    app_dir = str(tmp_path_factory.mktemp("idx") / "appended")
+    base = read_code_corpus(files).filter(expr="doc_id < 300")
+    build_index(base, app_dir, cfg, text_col="content", id_col="doc_id",
+                key_col="doc_key")
+    rest = read_code_corpus(files).filter(expr="doc_id >= 300")
+    append_documents(app_dir, rest, text_col="content", id_col="doc_id",
+                     key_col="doc_key", pid="rest", input_lineage="rest-v1")
+    return files, full_dir, app_dir, rest
+
+
+def _term_table(idx):
+    return pads.dataset(os.path.join(idx, "segments")).to_table(
+        columns=["term", "df", "cf"]) \
+        .group_by("term").aggregate([("df", "sum"), ("cf", "sum")]) \
+        .sort_by("term")
+
+
+def test_append_stats_match_full_build(corpora):
+    _, full_dir, app_dir, _ = corpora
+    full = json.load(open(os.path.join(full_dir, "stats.json")))
+    app = json.load(open(os.path.join(app_dir, "stats.json")))
+    for k in ("num_docs", "total_len", "avgdl", "n_salt", "num_terms"):
+        assert app[k] == full[k], k
+
+
+def test_append_postings_match_full_build(corpora):
+    _, full_dir, app_dir, _ = corpora
+    assert _term_table(full_dir).equals(_term_table(app_dir))
+
+
+def test_append_search_identical(corpora):
+    from collections import Counter
+
+    from lucene_msmarco_ray.analysis import get_analyzer
+    files, full_dir, app_dir, _ = corpora
+    an = get_analyzer("english")
+    r_full = IndexReader(full_dir, preload=True)
+    r_app = IndexReader(app_dir, preload=True)
+    sc = BM25Scorer()
+    matched = 0
+    for row in generate_queries(12, seed=3).to_pylist():
+        q = {t: float(c) for t, c in Counter(an(row["text"])).items()}
+        if not q:
+            continue
+        ids_f, s_f = score_query_taat(r_full, q, 50, sc)
+        ids_a, s_a = score_query_taat(r_app, q, 50, sc)
+        assert list(ids_f) == list(ids_a)
+        assert list(s_f) == list(s_a)  # bit-identical scores
+        matched += len(ids_f) > 0
+    assert matched >= 3  # enough queries actually hit the index
+
+
+def test_append_rerun_idempotent(corpora):
+    files, _, app_dir, rest = corpora
+    before = _term_table(app_dir)
+    stats1 = json.load(open(os.path.join(app_dir, "stats.json")))
+    # same pid + same lineage → checkpointed no-op fast path
+    stats2 = append_documents(app_dir, rest, text_col="content",
+                              id_col="doc_id", key_col="doc_key",
+                              pid="rest", input_lineage="rest-v1")
+    assert stats2["num_docs"] == stats1["num_docs"]
+    assert _term_table(app_dir).equals(before)
+    # crash-recovery path: appends record missing (crash between splice
+    # and manifest save) → encode re-runs and the splice replaces the
+    # pid's own files in place — still identical output
+    from lucene_msmarco_ray.index.manifest import Manifest
+    man = Manifest(os.path.join(app_dir, "manifest.json"))
+    man.data["appends"] = []
+    man.save()
+    stats3 = append_documents(app_dir, rest, text_col="content",
+                              id_col="doc_id", key_col="doc_key",
+                              pid="rest", input_lineage="rest-v1")
+    assert stats3["num_docs"] == stats1["num_docs"]
+    assert _term_table(app_dir).equals(before)
+
+
+def test_append_rejects_gapped_ids(corpora, tmp_path):
+    files, _, _, _ = corpora
+    cfg = EngineConfig(analyzer="english", num_shards=4, block_size=32)
+    idx = str(tmp_path / "gap")
+    build_index(read_code_corpus(files).filter(expr="doc_id < 100"), idx,
+                cfg, text_col="content", id_col="doc_id", key_col="doc_key")
+    with pytest.raises(ValueError, match="dense"):
+        append_documents(idx, read_code_corpus(files)
+                         .filter(expr="doc_id >= 200"),
+                         text_col="content", id_col="doc_id",
+                         key_col="doc_key")
+
+
+def test_cli_append_matches_full_build(tmp_path, corpora):
+    """CLI surface: build on half the files, `append` the rest — stats
+    equal a full one-shot build."""
+    import shutil
+    import subprocess
+    import sys
+
+    files, full_dir, _, _ = corpora
+    base_d, delta_d = tmp_path / "base", tmp_path / "delta"
+    base_d.mkdir(), delta_d.mkdir()
+    for f in sorted(files)[:2]:
+        shutil.copy(f, base_d / os.path.basename(f))
+    for f in sorted(files)[2:]:
+        shutil.copy(f, delta_d / os.path.basename(f))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo, RAY_ADDRESS="local")
+
+    def cli(*a):
+        return subprocess.run(
+            [sys.executable, "-m", "lucene_msmarco_ray.cli",
+             "--num-cpus", "4", *a],
+            capture_output=True, text=True, env=env, cwd=repo, timeout=420)
+
+    idx = str(tmp_path / "cli_idx")
+    r = cli("build", "--corpus", str(base_d), "--index", idx,
+            "--analyzer", "english", "--num-shards", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = cli("append", "--corpus", str(delta_d), "--index", idx)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    full = json.load(open(os.path.join(full_dir, "stats.json")))
+    assert stats["num_docs"] == full["num_docs"]
+    assert stats["total_len"] == full["total_len"]
+    assert stats["num_terms"] == full["num_terms"]
+
+
+def test_append_requires_built_index(tmp_path, ray_session):
+    import ray.data as rd
+    with pytest.raises(ValueError, match="completed index"):
+        append_documents(str(tmp_path / "nope"),
+                         rd.from_items([{"doc_id": 0, "text": "x"}]))
