@@ -1330,6 +1330,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         return quality_score(ds)
 
+    def pmi_colloc(sf_dir: str):
+        """PMI collocations over adjacent token pairs — single-pass
+        partial counts (unigrams ride the same exchange as y='' rows),
+        vocabulary-sized unigram broadcast."""
+        from lucene_msmarco_ray.ops.textstats import pmi_collocations
+        ds = _read16(sf_dir, "documents.parquet", ["text"])
+        return pmi_collocations(ds, min_count=5)
+
     def langid(sf_dir: str):
         from lucene_msmarco_ray.ops.textstats import lang_id
         ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
@@ -1756,6 +1764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup_exact,
         "curate_corpus": curate,
         "token_count": tok_count,
+        "pmi_colloc": pmi_colloc,
         "quality_score": quality,
         "lang_id": langid,
         "fingerprint": fp,
@@ -1829,6 +1838,23 @@ SELECT doc_id, count(*)::BIGINT AS doc_len FROM toks2 GROUP BY doc_id""",
 
         "dedup_exact": _dedup_exact_sql(),
         "curate_corpus": _curate_sql(),
+
+        "pmi_colloc": """WITH t AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+uni AS (SELECT unnest(toks) AS w FROM t),
+uc AS (SELECT w, count(*)::DOUBLE AS c FROM uni GROUP BY 1),
+tot AS (SELECT count(*)::DOUBLE AS t FROM uni),
+bg AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                    i -> [toks[i], toks[i+1]])) AS p
+       FROM t WHERE len(toks) >= 2),
+bc AS (SELECT p[1] AS x, p[2] AS y, count(*)::DOUBLE AS cxy
+       FROM bg GROUP BY 1, 2),
+btot AS (SELECT sum(cxy) AS b FROM bc)
+SELECT x || '^' || y AS bigram, cxy::BIGINT AS n_xy,
+       round(ln(cxy * tot.t * tot.t / (btot.b * ux.c * uy.c)), 6) AS pmi
+FROM bc, tot, btot, uc ux, uc uy
+WHERE ux.w = bc.x AND uy.w = bc.y AND cxy >= 5""",
 
         "token_count": """SELECT doc_id,
   len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,

@@ -165,3 +165,74 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
                                         mask=~mask)})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def pmi_collocations(ds, text_col: str = "text", min_count: int = 2):
+    """Top collocations by pointwise mutual information over ADJACENT
+    whitespace-token pairs → (bigram "x^y", n_xy, pmi), pmi rounded to 6.
+
+    ``PMI(x,y) = ln(c_xy * T^2 / (B * c_x * c_y))`` with T = total tokens,
+    B = total bigrams (corpus-wide; bigrams never cross document
+    boundaries).
+
+    Scale shape: ONE pass over the text emits pre-aggregated per-batch
+    (x, y, n) partials — unigrams ride in the same table as y='' rows, so
+    unigram and bigram counting share a single groupby exchange whose
+    input is batch-vocabulary-sized, never token-stream-sized. The reduced
+    count table is materialized (bounded by distinct bigrams, not the
+    corpus); the unigram slice (vocabulary-sized — the documented
+    broadcast-side assumption, same as the df broadcast in the feedback
+    family) is broadcast once via ray.put for the final vectorized score
+    map."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        flat, counts = _flat_tokens(batch[text_col])
+        toks = flat.to_pandas()
+        n = len(toks)
+        uc = toks.value_counts()
+        xs = [uc.index.to_numpy(dtype=object)]
+        ys = [np.full(len(uc), "", dtype=object)]
+        ns = [uc.to_numpy(np.int64)]
+        if n >= 2:
+            ends = np.cumsum(counts)
+            mask = np.ones(n - 1, bool)
+            inner = ends[(ends > 0) & (ends < n)]
+            mask[inner - 1] = False      # pairs crossing doc boundaries
+            v = toks.to_numpy(dtype=object)
+            bc = pd.DataFrame({"x": v[:-1][mask], "y": v[1:][mask]}) \
+                .groupby(["x", "y"], sort=True).size()
+            if len(bc):
+                idx = bc.index
+                xs.append(idx.get_level_values(0).to_numpy(dtype=object))
+                ys.append(idx.get_level_values(1).to_numpy(dtype=object))
+                ns.append(bc.to_numpy(np.int64))
+        return pa.table({"x": pa.array(np.concatenate(xs), pa.string()),
+                         "y": pa.array(np.concatenate(ys), pa.string()),
+                         "n": pa.array(np.concatenate(ns), pa.int64())})
+
+    counts = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(["x", "y"]).aggregate(Sum("n")).materialize())
+    uni = counts.filter(expr="y == ''").to_pandas()
+    total_t = float(uni["sum(n)"].sum())
+    total_b = float(counts.filter(expr="y != ''").sum("sum(n)") or 0)
+    cref = ray.put(dict(zip(uni["x"], uni["sum(n)"].astype(float))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        df = batch.to_pandas()
+        df = df[df["sum(n)"] >= min_count]
+        nxy = df["sum(n)"].to_numpy(np.float64)
+        cx = df["x"].map(cm).to_numpy(np.float64)
+        cy = df["y"].map(cm).to_numpy(np.float64)
+        pmi = np.log(nxy * total_t * total_t / (total_b * cx * cy))
+        return pa.table({
+            "bigram": pa.array((df["x"] + "^" + df["y"]).to_numpy(object),
+                               pa.string()),
+            "n_xy": pa.array(df["sum(n)"].to_numpy(np.int64)),
+            "pmi": pc.round(pa.array(pmi, pa.float64()), ndigits=6)})
+
+    return counts.filter(expr="y != ''") \
+        .map_batches(score, batch_format="pyarrow")

@@ -172,3 +172,24 @@ def test_content_hash_hex_property(strings):
     exp = ["".join(f"{poly_hash_str(s, b):08x}" for b in CONTENT_HASH_BASES)
            for s in strings]
     assert got == exp
+
+
+def test_pmi_collocations_golden(ray_session):
+    """PMI vs hand computation: doc-boundary pairs excluded, min_count
+    filter, ln(c_xy T^2 / (B c_x c_y)) to 6 dp."""
+    import math
+
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.textstats import pmi_collocations
+    rows = [{"text": "a b a b"},    # bigrams: a^b, b^a, a^b
+            {"text": "b a"},        # b^a  (no pair across docs)
+            {"text": "c"}]          # no bigram
+    out = pmi_collocations(rd.from_items(rows, override_num_blocks=3),
+                           min_count=2).to_pandas() \
+        .sort_values("bigram").reset_index(drop=True)
+    # T=7 tokens (a:3 b:3 c:1), B=4 bigrams; a^b:2, b^a:2 (both >= 2)
+    exp = round(math.log(2 * 7.0 * 7.0 / (4.0 * 3.0 * 3.0)), 6)
+    assert list(out["bigram"]) == ["a^b", "b^a"]
+    assert list(out["n_xy"]) == [2, 2]
+    assert list(out["pmi"]) == [exp, exp]
