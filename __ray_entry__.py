@@ -1540,6 +1540,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      ["o_orderkey", "o_custkey", "o_totalprice"])
         return hash_sample(ds, "o_orderkey", 0.1)
 
+    def stratified_sample_gate(sf_dir: str):
+        """Per-stratum deterministic sampling (25% of O-status orders, 5%
+        of F, none of P via the default) — shuffle-free, HUGEINT-replayed
+        by the oracle."""
+        from lucene_msmarco_ray.ops.relational import stratified_sample
+        ds = _read16(sf_dir, "orders.parquet",
+                     ["o_orderkey", "o_orderstatus", "o_totalprice"])
+        return stratified_sample(ds, "o_orderstatus", "o_orderkey",
+                                 {"O": 0.25, "F": 0.05}, default=0.0)
+
     def group_quantile_gate(sf_dir: str):
         """Exact p50/p90 of l_extendedprice per return flag via the
         two-pass order-preserving-bucket algorithm (quantile_disc
@@ -1786,6 +1796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": topk_per_group_gate,
         "group_distinct": group_distinct_gate,
         "hash_sample": hash_sample_gate,
+        "stratified_sample": stratified_sample_gate,
         "group_quantile": group_quantile_gate,
         "asof_join": asof_join_gate,
         "range_join": range_join_gate,
@@ -2040,6 +2051,15 @@ FROM lineitem GROUP BY 1""",
 FROM orders
 WHERE (CAST(o_orderkey AS HUGEINT) % 4294967296 * 2654435761)
       % 4294967296 < 429496729""",
+        # per-stratum thresholds: 1073741824 = floor(0.25 * 2^32),
+        # 214748364 = floor(0.05 * 2^32); unlisted strata drop (default 0)
+        "stratified_sample": """SELECT o_orderkey, o_orderstatus,
+       o_totalprice
+FROM orders
+WHERE (CAST(o_orderkey AS HUGEINT) % 4294967296 * 2654435761)
+      % 4294967296
+      < CASE o_orderstatus WHEN 'O' THEN 1073741824
+                           WHEN 'F' THEN 214748364 ELSE 0 END""",
         "group_quantile": """SELECT l_returnflag,
        quantile_disc(l_extendedprice, 0.5) AS p50,
        quantile_disc(l_extendedprice, 0.9) AS p90

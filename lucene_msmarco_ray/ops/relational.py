@@ -151,6 +151,27 @@ def hash_sample(ds, id_col: str, fraction: float, salt: int = 0):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_sample(ds, group_col: str, id_col: str, fractions: dict,
+                      default: float = 0.0, salt: int = 0):
+    """Per-stratum deterministic sample: a row in group ``g`` survives iff
+    its multiplicative id hash falls below ``floor(fractions[g] * 2^32)``
+    (``default`` for unlisted groups). Same shuffle-free, parallelism-
+    invariant, SQL-replayable arithmetic as :func:`hash_sample`, with a
+    per-group threshold looked up vectorized; rows keep their hash side
+    across strata re-weightings, so tightening one stratum's fraction
+    yields a subset of the previous sample."""
+    thr = {k: np.uint64(int(f * _M32)) for k, f in fractions.items()}
+    dflt = np.uint64(int(default * _M32))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = _mix32(batch[id_col].to_numpy(zero_copy_only=False), salt)
+        t = batch[group_col].to_pandas().map(thr).fillna(dflt) \
+            .to_numpy(np.uint64)
+        return batch.filter(pa.array(h < t))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def _order_key(vals: np.ndarray) -> np.ndarray:
     """Order-preserving bijection float64 → uint64 (IEEE-754 total order
     over finite values): flip all bits of negatives, flip only the sign

@@ -69,6 +69,34 @@ def test_hash_sample_deterministic_across_parallelism(ray_session):
     assert salted != got[0] and 0.2 < len(salted) / 2000 < 0.3
 
 
+def test_stratified_sample(ray_session):
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.relational import (hash_sample,
+                                                   stratified_sample)
+    rows = [{"g": ["a", "b", "c"][i % 3], "id": i} for i in range(3000)]
+    frac = {"a": 0.5, "b": 0.1}
+    got = [sorted(stratified_sample(
+        rd.from_items(rows, override_num_blocks=nb), "g", "id", frac)
+        .to_pandas()["id"]) for nb in (1, 6)]
+    assert got[0] == got[1]          # parallelism-invariant
+    df = __import__("pandas").DataFrame(rows)
+    out = df[df["id"].isin(got[0])]
+    by = out.groupby("g").size()
+    assert "c" not in by             # default=0 drops unlisted strata
+    assert 0.4 < by["a"] / 1000 < 0.6 and 0.05 < by["b"] / 1000 < 0.15
+    # tightening a stratum yields a SUBSET (same hash, lower threshold)
+    tight = stratified_sample(rd.from_items(rows, override_num_blocks=4),
+                              "g", "id", {"a": 0.2, "b": 0.1}).to_pandas()
+    assert set(tight["id"]) <= set(got[0])
+    # a uniform stratification equals plain hash_sample
+    uni = stratified_sample(rd.from_items(rows, override_num_blocks=4),
+                            "g", "id", {}, default=0.3).to_pandas()
+    plain = hash_sample(rd.from_items(rows, override_num_blocks=4),
+                        "id", 0.3).to_pandas()
+    assert sorted(uni["id"]) == sorted(plain["id"])
+
+
 def _quantile_disc(vals, q):
     s = sorted(vals)
     return s[max(1, math.ceil(q * len(s))) - 1]
