@@ -1550,6 +1550,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return stratified_sample(ds, "o_orderstatus", "o_orderkey",
                                  {"O": 0.25, "F": 0.05}, default=0.0)
 
+    def hash_split_gate(sf_dir: str):
+        """Deterministic 80/10/10 train/val/test labels over orders —
+        shuffle-free hash-range cut, CASE-replayed by the oracle."""
+        from lucene_msmarco_ray.ops.relational import hash_split
+        ds = _read16(sf_dir, "orders.parquet",
+                     ["o_orderkey", "o_totalprice"])
+        return hash_split(ds, "o_orderkey",
+                          {"train": 0.8, "val": 0.1, "test": 0.1})
+
+    def pack_sequences_gate(sf_dir: str):
+        """LM-training concat-and-chunk packing: documents laid out in
+        deterministic hash order, each assigned the 2048-token bin its
+        start offset lands in — a distributed two-pass prefix sum (range-
+        bucketed hash, per-bucket totals scanned on the driver), replayed
+        by the oracle as one SQL window cumsum."""
+        from lucene_msmarco_ray.ops.relational import pack_sequences
+        from lucene_msmarco_ray.ops.textstats import token_count
+        docs = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
+        cnt = token_count(docs).drop_columns(["n_unique"])
+        return pack_sequences(cnt, "doc_id", "n_tokens", budget=2048)
+
     def group_quantile_gate(sf_dir: str):
         """Exact p50/p90 of l_extendedprice per return flag via the
         two-pass order-preserving-bucket algorithm (quantile_disc
@@ -1797,6 +1818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_distinct": group_distinct_gate,
         "hash_sample": hash_sample_gate,
         "stratified_sample": stratified_sample_gate,
+        "hash_split": hash_split_gate,
+        "pack_sequences": pack_sequences_gate,
         "group_quantile": group_quantile_gate,
         "asof_join": asof_join_gate,
         "range_join": range_join_gate,
@@ -2060,6 +2083,35 @@ WHERE (CAST(o_orderkey AS HUGEINT) % 4294967296 * 2654435761)
       % 4294967296
       < CASE o_orderstatus WHEN 'O' THEN 1073741824
                            WHEN 'F' THEN 214748364 ELSE 0 END""",
+        # edges: 3435973836 = int(0.8 * 2^32), 3865470566 = int(0.9 * 2^32)
+        # (cumulative fractions, same float arithmetic as hash_split);
+        # fractions sum to 1 so no WHERE — every row gets a slice
+        "hash_split": """SELECT o_orderkey, o_totalprice,
+       CASE WHEN (CAST(o_orderkey AS HUGEINT) % 4294967296 * 2654435761)
+                 % 4294967296 < 3435973836 THEN 'train'
+            WHEN (CAST(o_orderkey AS HUGEINT) % 4294967296 * 2654435761)
+                 % 4294967296 < 3865470566 THEN 'val'
+            ELSE 'test' END AS split
+FROM orders""",
+        # one window cumsum over the multiplicative-hash order replays the
+        # engine's distributed two-pass prefix sum exactly (the hash is a
+        # bijection on [0, 2^32), so ORDER BY h is total)
+        "pack_sequences": """WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n_tokens,
+         (CAST(doc_id AS HUGEINT) % 4294967296 * 2654435761) % 4294967296
+           AS h
+  FROM documents),
+o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS start_off
+  FROM t)
+SELECT doc_id, n_tokens, start_off,
+       (start_off // 2048)::BIGINT AS bin_id
+FROM o""",
         "group_quantile": """SELECT l_returnflag,
        quantile_disc(l_extendedprice, 0.5) AS p50,
        quantile_disc(l_extendedprice, 0.9) AS p90

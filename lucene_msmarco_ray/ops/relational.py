@@ -257,3 +257,95 @@ def group_quantile(ds, group_cols, value_col: str, qs,
     return (ds.map_batches(keep_target, batch_format="pyarrow")
             .groupby(group_cols)
             .map_groups(pick, batch_format="pandas"))
+
+
+def hash_split(ds, id_col: str, fractions: "dict[str, float]",
+               salt: int = 0, output_col: str = "split"):
+    """Deterministic disjoint train/val/test-style split labels: the
+    [0, 2^32) hash line is cut at the cumulative ``fractions`` edges and a
+    row's label is the slice its id hash lands in (rows past the last edge
+    are dropped, so fractions summing to < 1 subsample). Shuffle-free and
+    parallelism-invariant like :func:`hash_sample`, and consistent with
+    it: the first slice equals ``hash_sample(fraction=fractions[first])``
+    at the same salt, so a split can be carved out of an existing sample
+    without rehashing. SQL replay is a CASE over the same HUGEINT hash.
+    """
+    names = list(fractions)
+    edges = np.cumsum([float(fractions[n]) for n in names])
+    if not names or edges[-1] > 1.0 + 1e-9:
+        raise ValueError("fractions must be non-empty and sum to <= 1")
+    thr = np.array([int(e * _M32) for e in edges], np.uint64)
+    labels = np.array(names, object)
+
+    def label(batch: pa.Table) -> pa.Table:
+        h = _mix32(batch[id_col].to_numpy(zero_copy_only=False), salt)
+        idx = np.searchsorted(thr, h, side="right")
+        keep = idx < labels.size
+        out = batch.filter(pa.array(keep))
+        return out.append_column(output_col, pa.array(
+            labels[idx[keep]].tolist(), pa.string()))
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+def pack_sequences(ds, id_col: str, size_col: str, budget: int,
+                   salt: int = 0, num_parts: int | None = None):
+    """Concat-and-chunk sequence packing: lay documents end to end in a
+    deterministic pseudo-random order (the multiplicative id hash — a
+    bijection on [0, 2^32), so the order is total, shuffle-quality, and
+    replayable as ``ORDER BY h`` in SQL) and assign each one the training
+    bin ``start_offset // budget`` it starts in.
+
+    Distributed as a two-pass prefix sum instead of a global sort: the
+    hash is range-bucketed order-preservingly (``(h * P) >> 32``), so
+    bucket order IS hash order; pass A reduces each bucket to one token
+    total (tiny, collected to the driver for an exclusive scan); pass B is
+    one coarse groupby where each bucket adds its driver-computed offset
+    to a local cumsum. The only data crossing the exchange is the reduced
+    (id, size) table — document text never moves.
+
+    → (id_col, size_col, start_off, bin_id).
+    """
+    from lucene_msmarco_ray.ops.dedup import coarse_parts
+
+    P = coarse_parts(num_parts)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = _mix32(ids, salt)
+        part = ((h * np.uint64(P)) >> np.uint64(32)).astype(np.int64)
+        return pa.table({id_col: pa.array(ids.astype(np.int64)),
+                         size_col: batch[size_col].cast(pa.int64()),
+                         "__h": pa.array(h),
+                         "__part": pa.array(part)})
+
+    # materialized on purpose: the reduced 4-int64-column table is read
+    # twice (pass A totals, pass B packing) — re-running the upstream
+    # tokenize to save ~32 B/doc of object store would cost a full pass
+    cnt = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def part_sums(batch: pa.Table) -> pa.Table:
+        t = batch.select(["__part", size_col]).group_by("__part") \
+            .aggregate([(size_col, "sum")])
+        return pa.table({"__part": t["__part"],
+                         "__total": t[f"{size_col}_sum"]})
+
+    partials = cnt.map_batches(part_sums, batch_format="pyarrow") \
+        .to_pandas()
+    totals = partials.groupby("__part")["__total"].sum().sort_index()
+    offs = dict(zip(
+        totals.index.to_numpy(np.int64),
+        np.concatenate(([0], np.cumsum(totals.to_numpy(np.int64))[:-1]))))
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        base = offs[int(df["__part"].iloc[0])]
+        df = df.sort_values("__h", kind="mergesort")
+        sizes = df[size_col].to_numpy(np.int64)
+        start = base + np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        return pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+                             size_col: sizes,
+                             "start_off": start,
+                             "bin_id": start // np.int64(budget)})
+
+    pack.__name__ = "pack"
+    return cnt.groupby("__part").map_groups(pack, batch_format="pandas")

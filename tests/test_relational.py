@@ -138,3 +138,58 @@ def test_group_quantile_matches_duckdb(ray_session):
         "FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet') "
         "GROUP BY 1 ORDER BY 1").df()
     pd.testing.assert_frame_equal(out, ora, check_exact=True)
+
+
+def test_hash_split(ray_session):
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.relational import hash_sample, hash_split
+    rows = [{"id": i} for i in range(5000)]
+    frac = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = [hash_split(rd.from_items(rows, override_num_blocks=nb),
+                      "id", frac).to_pandas().sort_values("id")
+           .reset_index(drop=True) for nb in (1, 6)]
+    assert got[0].equals(got[1])          # parallelism-invariant
+    df = got[0]
+    assert len(df) == 5000                # fractions sum to 1 → no drops
+    by = df.groupby("split").size()
+    assert 0.75 < by["train"] / 5000 < 0.85
+    assert 0.07 < by["val"] / 5000 < 0.13 and 0.07 < by["test"] / 5000 < 0.13
+    # first slice == hash_sample at the same fraction/salt
+    train = set(df.loc[df["split"] == "train", "id"])
+    plain = hash_sample(rd.from_items(rows, override_num_blocks=4),
+                        "id", 0.8).to_pandas()
+    assert train == set(plain["id"])
+    # fractions summing to < 1 subsample (the tail is dropped)
+    sub = hash_split(rd.from_items(rows, override_num_blocks=4), "id",
+                     {"a": 0.2, "b": 0.1}).to_pandas()
+    assert 0.25 < len(sub) / 5000 < 0.35 and set(sub["split"]) == {"a", "b"}
+
+
+def test_pack_sequences(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.relational import (_M32, _mix32,
+                                                   pack_sequences)
+    rows = [{"id": i, "n": 1 + (i * 7) % 40} for i in range(2000)]
+    got = [pack_sequences(rd.from_items(rows, override_num_blocks=nb),
+                          "id", "n", budget=256, num_parts=8)
+           .to_pandas().sort_values("id").reset_index(drop=True)
+           for nb in (1, 6)]
+    assert got[0].equals(got[1])          # parallelism-invariant
+
+    ref = pd.DataFrame(rows)
+    ref["h"] = _mix32(ref["id"].to_numpy(), 0)
+    ref = ref.sort_values("h").reset_index(drop=True)
+    ref["start_off"] = ref["n"].cumsum().shift(fill_value=0)
+    ref["bin_id"] = ref["start_off"] // 256
+    ref = ref.drop(columns="h").sort_values("id").reset_index(drop=True)
+    out = got[0][["id", "n", "start_off", "bin_id"]].astype(np.int64)
+    assert out.equals(ref.astype(np.int64))
+    # packing covers every token exactly once: offsets tile [0, total)
+    srt = got[0].sort_values("start_off")
+    assert srt["start_off"].iloc[0] == 0
+    assert (srt["start_off"].to_numpy()[1:]
+            == (srt["start_off"] + srt["n"]).to_numpy()[:-1]).all()
