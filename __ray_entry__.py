@@ -1571,6 +1571,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cnt = token_count(docs).drop_columns(["n_unique"])
         return pack_sequences(cnt, "doc_id", "n_tokens", budget=2048)
 
+    def partitioned_sink_gate(sf_dir: str):
+        """Resumable partitioned parquet sink, gated on the full
+        write→commit→read-back roundtrip: documents are hash-bucketed,
+        written one committed directory per bucket, read back through the
+        marker-aware reader, and the (doc_id, bucket) pairs must match
+        the oracle's HUGEINT bucket arithmetic."""
+        import shutil
+
+        from lucene_msmarco_ray.sources.sink import (add_hash_bucket,
+                                                     read_partitioned,
+                                                     write_partitioned)
+        root = os.path.join("/tmp", "graft_sink_gate_"
+                            + os.path.basename(os.path.normpath(sf_dir)))
+        shutil.rmtree(root, ignore_errors=True)
+        docs = _read16(sf_dir, "documents.parquet", ["doc_id"])
+        write_partitioned(add_hash_bucket(docs, "doc_id", 8), root,
+                          "bucket", sort_cols=["doc_id"])
+        return read_partitioned(root, "bucket") \
+            .map_batches(lambda b: b.select(["doc_id", "bucket"]),
+                         batch_format="pyarrow")
+
     def group_quantile_gate(sf_dir: str):
         """Exact p50/p90 of l_extendedprice per return flag via the
         two-pass order-preserving-bucket algorithm (quantile_disc
@@ -1820,6 +1841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": stratified_sample_gate,
         "hash_split": hash_split_gate,
         "pack_sequences": pack_sequences_gate,
+        "partitioned_sink": partitioned_sink_gate,
         "group_quantile": group_quantile_gate,
         "asof_join": asof_join_gate,
         "range_join": range_join_gate,
@@ -2093,6 +2115,11 @@ WHERE (CAST(o_orderkey AS HUGEINT) % 4294967296 * 2654435761)
                  % 4294967296 < 3865470566 THEN 'val'
             ELSE 'test' END AS split
 FROM orders""",
+        # the sink's bucket = (hash * 8) >> 32, order-preserving range map
+        "partitioned_sink": """SELECT doc_id,
+       CAST((CAST(doc_id AS HUGEINT) % 4294967296 * 2654435761)
+            % 4294967296 * 8 // 4294967296 AS BIGINT) AS bucket
+FROM documents""",
         # one window cumsum over the multiplicative-hash order replays the
         # engine's distributed two-pass prefix sum exactly (the hash is a
         # bijection on [0, 2^32), so ORDER BY h is total)
