@@ -1571,6 +1571,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cnt = token_count(docs).drop_columns(["n_unique"])
         return pack_sequences(cnt, "doc_id", "n_tokens", budget=2048)
 
+    def approx_distinct_gate(sf_dir: str):
+        """KMV distinct-count sketch (k=256) of part keys per return
+        flag — bounded O(k) exchange per group, estimator replayed
+        bit-exactly by the oracle's HUGEINT floor division."""
+        from lucene_msmarco_ray.ops.relational import approx_distinct
+        ds = _read16(sf_dir, "lineitem.parquet",
+                     ["l_returnflag", "l_partkey"])
+        return approx_distinct(ds, ["l_returnflag"], "l_partkey", k=256)
+
+    def sample_n_gate(sf_dir: str):
+        """Deterministic exact-size global sample: the 500 orders with
+        smallest id hash — ORDER BY hash LIMIT n in the oracle."""
+        from lucene_msmarco_ray.ops.relational import sample_n
+        ds = _read16(sf_dir, "orders.parquet",
+                     ["o_orderkey", "o_totalprice"])
+        return sample_n(ds, "o_orderkey", 500)
+
     def partitioned_sink_gate(sf_dir: str):
         """Resumable partitioned parquet sink, gated on the full
         write→commit→read-back roundtrip: documents are hash-bucketed,
@@ -1842,6 +1859,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": hash_split_gate,
         "pack_sequences": pack_sequences_gate,
         "partitioned_sink": partitioned_sink_gate,
+        "approx_distinct": approx_distinct_gate,
+        "sample_n": sample_n_gate,
         "group_quantile": group_quantile_gate,
         "asof_join": asof_join_gate,
         "range_join": range_join_gate,
@@ -2115,6 +2134,28 @@ WHERE (CAST(o_orderkey AS HUGEINT) % 4294967296 * 2654435761)
                  % 4294967296 < 3865470566 THEN 'val'
             ELSE 'test' END AS split
 FROM orders""",
+        # KMV sketch replay: distinct 32-bit hashes per group; below k the
+        # count is exact, else (k-1) * 2^32 // (k-th smallest hash)
+        "approx_distinct": """WITH h AS (
+  SELECT DISTINCT l_returnflag,
+         (CAST(l_partkey AS HUGEINT) % 4294967296 * 2654435761)
+         % 4294967296 AS h
+  FROM lineitem),
+r AS (
+  SELECT l_returnflag, h,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM h)
+SELECT l_returnflag,
+       CAST(CASE WHEN count(*) < 256 THEN count(*)
+            ELSE (CAST(255 AS HUGEINT) * 4294967296)
+                 // min(h) FILTER (WHERE rn = 256) END AS BIGINT)
+         AS n_distinct_est
+FROM r GROUP BY l_returnflag""",
+        "sample_n": """SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY (CAST(o_orderkey AS HUGEINT) % 4294967296 * 2654435761)
+         % 4294967296
+LIMIT 500""",
         # the sink's bucket = (hash * 8) >> 32, order-preserving range map
         "partitioned_sink": """SELECT doc_id,
        CAST((CAST(doc_id AS HUGEINT) % 4294967296 * 2654435761)

@@ -349,3 +349,83 @@ def pack_sequences(ds, id_col: str, size_col: str, budget: int,
 
     pack.__name__ = "pack"
     return cnt.groupby("__part").map_groups(pack, batch_format="pandas")
+
+
+def approx_distinct(ds, group_cols, value_col: str, k: int = 1024,
+                    output_col: str = "n_distinct_est"):
+    """Per-group approximate COUNT(DISTINCT) via a K-Minimum-Values
+    sketch — the classic mergeable distinct-count sketch (Bar-Yossef et
+    al. 2002): keep the ``k`` smallest 32-bit value hashes per group;
+    if fewer than ``k`` distinct hashes exist the count is exact,
+    otherwise estimate ``(k-1) * 2^32 // h_k`` (integer floor — the
+    arithmetic is bit-replayable in SQL, no float drift).
+
+    Scale shape: each batch contributes at most ``k`` hashes per group to
+    the exchange, so the shuffle moves O(k · groups · blocks) small ints
+    no matter how many rows the input has — the sketch property that
+    makes a 100 TB COUNT(DISTINCT) a bounded reduction. Within ~1/sqrt(k)
+    relative error; use :func:`group_distinct_count` when exactness is
+    required and the (group, value) exchange is affordable.
+
+    ``value_col`` must be integral (the multiplicative hash and its SQL
+    HUGEINT replay are defined on integers).
+    """
+    group_cols = list(group_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(group_cols + [value_col]).to_pandas()
+        df["__h"] = _mix32(df.pop(value_col).to_numpy(), 0)
+        df = df.drop_duplicates()
+        # per-group k smallest hashes without a full sort
+        df = df.sort_values("__h", kind="mergesort") \
+            .groupby(group_cols, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(g["__h"].to_numpy(np.uint64))
+        if h.size < k:
+            est = np.int64(h.size)
+        else:
+            est = np.int64((np.uint64(k - 1) * np.uint64(_M32))
+                           // h[k - 1])
+        out = {c: [g[c].iloc[0]] for c in group_cols}
+        out[output_col] = [est]
+        return pd.DataFrame(out)
+
+    estimate.__name__ = "estimate"
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_cols)
+            .map_groups(estimate, batch_format="pandas"))
+
+
+def sample_n(ds, id_col: str, n: int, salt: int = 0):
+    """Deterministic EXACT-size global sample: the ``n`` rows whose id
+    hash is smallest (the hash is a bijection on [0, 2^32), so the
+    cutoff is unambiguous and the result is parallelism-invariant).
+    Unlike :func:`hash_sample` the output size is exact, not binomial —
+    'give me exactly 10k held-out docs' — and the sample NESTS: the
+    n' < n sample is a prefix of the n sample at the same salt. SQL
+    replay: ``ORDER BY hash LIMIT n``.
+
+    Each block contributes at most ``n`` candidate rows to one final
+    reduce task — fine for sample sizes that fit one worker's memory
+    (the intended regime; a 100 TB input still ships only
+    O(n · blocks) candidate rows)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = _mix32(batch[id_col].to_numpy(zero_copy_only=False), salt)
+        if h.size > n:
+            keep = np.argpartition(h, n - 1)[:n]
+            batch, h = batch.take(pa.array(keep)), h[keep]
+        return batch.append_column("__h", pa.array(h))
+
+    def final(batch: pa.Table) -> pa.Table:
+        h = batch["__h"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")[:n]
+        return batch.take(pa.array(order)).drop_columns(["__h"])
+
+    # single bounded reduce: every block's ≤ n candidates to one task
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow",
+                         batch_size=None))

@@ -193,3 +193,46 @@ def test_pack_sequences(ray_session):
     assert srt["start_off"].iloc[0] == 0
     assert (srt["start_off"].to_numpy()[1:]
             == (srt["start_off"] + srt["n"]).to_numpy()[:-1]).all()
+
+
+def test_approx_distinct(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.relational import (approx_distinct,
+                                                   group_distinct_count)
+    # group a: 5000 distinct (> k → estimated); group b: 40 (< k → exact)
+    rows = ([{"g": "a", "v": i} for i in range(5000)]
+            + [{"g": "b", "v": i % 40} for i in range(400)])
+    got = [approx_distinct(rd.from_items(rows, override_num_blocks=nb),
+                           ["g"], "v", k=256).to_pandas()
+           .sort_values("g").reset_index(drop=True) for nb in (1, 7)]
+    assert got[0].equals(got[1])          # parallelism-invariant
+    df = got[0].set_index("g")["n_distinct_est"]
+    assert df["b"] == 40                  # below k → exact
+    assert abs(df["a"] - 5000) / 5000 < 0.2   # ~1/sqrt(256) error regime
+    # exact counterpart agrees where exact
+    ex = group_distinct_count(rd.from_items(rows, override_num_blocks=4),
+                              ["g"], "v").to_pandas().set_index("g")
+    assert ex.loc["b", "n_distinct"] == 40
+
+
+def test_sample_n(ray_session):
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.relational import _mix32, sample_n
+    import numpy as np
+    rows = [{"id": i, "p": i * 2} for i in range(3000)]
+    got = [sample_n(rd.from_items(rows, override_num_blocks=nb),
+                    "id", 100).to_pandas().sort_values("id")
+           .reset_index(drop=True) for nb in (1, 6)]
+    assert got[0].equals(got[1]) and len(got[0]) == 100
+    # matches the n smallest hashes exactly
+    ids = np.arange(3000)
+    h = _mix32(ids, 0)
+    want = set(ids[np.argsort(h)[:100]])
+    assert set(got[0]["id"]) == want
+    # nesting: smaller n is a prefix of larger n
+    small = sample_n(rd.from_items(rows, override_num_blocks=4),
+                     "id", 25).to_pandas()
+    assert set(small["id"]) <= want
