@@ -1571,6 +1571,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cnt = token_count(docs).drop_columns(["n_unique"])
         return pack_sequences(cnt, "doc_id", "n_tokens", budget=2048)
 
+    def duplicate_spans_gate(sf_dir: str):
+        """Per-document duplicated-text fraction over 5-token spans —
+        linear in tokens (doc-level output, no pair blowup); the oracle
+        recounts with distinct gram strings."""
+        from lucene_msmarco_ray.ops.dedup import duplicate_spans
+        docs = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
+        return duplicate_spans(docs, w=5)
+
     def approx_distinct_gate(sf_dir: str):
         """KMV distinct-count sketch (k=256) of part keys per return
         flag — bounded O(k) exchange per group, estimator replayed
@@ -1859,6 +1867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": hash_split_gate,
         "pack_sequences": pack_sequences_gate,
         "partitioned_sink": partitioned_sink_gate,
+        "duplicate_spans": duplicate_spans_gate,
         "approx_distinct": approx_distinct_gate,
         "sample_n": sample_n_gate,
         "group_quantile": group_quantile_gate,
@@ -2134,6 +2143,23 @@ WHERE (CAST(o_orderkey AS HUGEINT) % 4294967296 * 2654435761)
                  % 4294967296 < 3865470566 THEN 'val'
             ELSE 'test' END AS split
 FROM orders""",
+        # w=5 spans: starts 1..len-4 (range upper bound len-3, exclusive);
+        # span identity = the gram string (engine uses its 62-bit hash)
+        "duplicate_spans": """WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+g0 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+           i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS gram
+  FROM t),
+g AS (SELECT DISTINCT doc_id, gram FROM g0),
+df AS (SELECT gram, count(*) AS d FROM g GROUP BY gram)
+SELECT g.doc_id,
+       count(*)::BIGINT AS n_spans,
+       sum(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+       round(sum(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS dup_frac
+FROM g JOIN df USING (gram) GROUP BY g.doc_id""",
         # KMV sketch replay: distinct 32-bit hashes per group; below k the
         # count is exact, else (k-1) * 2^32 // (k-th smallest hash)
         "approx_distinct": """WITH h AS (

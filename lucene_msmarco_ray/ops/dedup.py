@@ -645,3 +645,95 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     return (pairs.map_batches(pair_part, batch_format="pyarrow")
             .groupby("__part").map_groups(count_shared,
                                           batch_format="pandas"))
+
+
+def duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
+                    w: int = 20, num_parts: int | None = None):
+    """Per-document duplicated-text fraction: the share of a document's
+    distinct ``w``-token spans that also occur in at least one OTHER
+    document (or twice here — occurrence counting is by document) — the
+    doc-level contamination/boilerplate signal web-corpus curation
+    pipelines threshold on (cf. the duplicate-text fractions in
+    RefinedWeb/Dolma-style quality filters).
+
+    Deliberately NOT a pair operator: output is one row per document, and
+    every stage is linear in tokens — (gram, doc) rows cross one coarse
+    int-keyed exchange (distinct-per-doc, so bounded by token count), the
+    per-part reduce marks grams with df ≥ 2 and folds to per-doc partial
+    counts, and a tiny (doc, partials) groupby sums them. No quadratic
+    blowup on near-identical corpora, unlike all-pairs similarity.
+
+    Span identity is the 62-bit two-family rolling hash of the
+    space-joined gram (same contract as :func:`ngram_jaccard_pairs`); the
+    SQL oracle counts distinct gram strings — identical absent 2^-62
+    collisions.
+
+    → (doc_id, n_spans, n_dup_spans, dup_frac); documents with fewer than
+    ``w`` tokens emit nothing (they have no spans).
+    """
+    parts = np.uint64(coarse_parts(num_parts))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        flat, cnt = _tokenize_batch(batch[text_col].to_pylist())
+        h1, l1 = _poly_hashes(flat, HASH_BASE)
+        h2, _ = _poly_hashes(flat, HASH_BASE2)
+        g1, per_doc = _gram_hashes(h1, l1, cnt, w, HASH_BASE)
+        g2, _ = _gram_hashes(h2, l1, cnt, w, HASH_BASE2)
+        gid = (g1 | (g2 << np.uint64(31))).view(np.int64)
+        # _gram_hashes gives a 0 < n < w doc one whole-doc gram (the
+        # Jaccard contract); the span contract is "no spans" — drop them
+        long_enough = cnt >= w
+        gmask = long_enough[np.repeat(np.arange(cnt.size), per_doc)]
+        gid = gid[gmask]
+        per_doc = np.where(long_enough, per_doc, 0)
+        nz = np.flatnonzero(per_doc)
+        doc_of = np.repeat(ids[nz].astype(np.int64), per_doc[nz])
+        order = np.lexsort((gid, doc_of))
+        doc_of, gid = doc_of[order], gid[order]
+        keep = np.ones(gid.size, bool)
+        keep[1:] = (doc_of[1:] != doc_of[:-1]) | (gid[1:] != gid[:-1])
+        doc_of, gid = doc_of[keep], gid[keep]
+        return pa.table({"gram_id": pa.array(gid),
+                         "doc_id": pa.array(doc_of),
+                         "__part": pa.array(
+                             (_mix64(gid.view(np.uint64))
+                              % parts).astype(np.int64))})
+
+    def part_stats(g: pd.DataFrame) -> pd.DataFrame:
+        gid = g["gram_id"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        order = np.argsort(gid, kind="stable")
+        gid, d = gid[order], d[order]
+        _starts, sizes = _segments(gid)
+        dup = np.repeat(sizes >= 2, sizes)
+        codes, uniq = pd.factorize(d)
+        n = np.bincount(codes, minlength=uniq.size)
+        nd = np.bincount(codes[dup], minlength=uniq.size)
+        # second exchange is coarse too: a direct groupby(doc_id)
+        # .aggregate over these 64 micro-blocks measured 17.5 s for 163k
+        # rows (high-cardinality sort-shuffle of tiny blocks); the coarse
+        # repartition + vectorized in-group sum is 0.2 s
+        return pd.DataFrame({"doc_id": uniq.astype(np.int64),
+                             "__n": n.astype(np.int64),
+                             "__nd": nd.astype(np.int64),
+                             "__dpart": (_mix64(uniq.astype(np.uint64))
+                                         % parts).astype(np.int64)})
+
+    part_stats.__name__ = "part_stats"
+
+    def doc_sums(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("doc_id", sort=False)[["__n", "__nd"]].sum()
+        n = s["__n"].to_numpy(np.int64)
+        nd = s["__nd"].to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": s.index.to_numpy(np.int64),
+                             "n_spans": n, "n_dup_spans": nd,
+                             "dup_frac": np.round(nd / n, 6)})
+
+    doc_sums.__name__ = "doc_sums"
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("__part").map_groups(part_stats,
+                                          batch_format="pandas")
+            .groupby("__dpart").map_groups(doc_sums,
+                                           batch_format="pandas"))

@@ -193,3 +193,37 @@ def test_pmi_collocations_golden(ray_session):
     assert list(out["bigram"]) == ["a^b", "b^a"]
     assert list(out["n_xy"]) == [2, 2]
     assert list(out["pmi"]) == [exp, exp]
+
+
+def test_duplicate_spans(ray_session):
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.dedup import duplicate_spans
+
+    # doc 0/1 share "a b c d"; doc 2 is unique; doc 3 too short; doc 4
+    # repeats the shared span inside itself (distinct-per-doc: counts once)
+    docs = [{"doc_id": 0, "text": "a b c d e f"},
+            {"doc_id": 1, "text": "z a b c d y"},
+            {"doc_id": 2, "text": "p q r s t u"},
+            {"doc_id": 3, "text": "a b c"},
+            {"doc_id": 4, "text": "a b c d a b c d"}]
+    got = [duplicate_spans(rd.from_items(docs, override_num_blocks=nb),
+                           w=4, num_parts=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True) for nb in (1, 5)]
+    assert got[0].equals(got[1])          # parallelism-invariant
+
+    df = got[0].set_index("doc_id")
+    assert 3 not in df.index              # < w tokens → no spans
+    # pandas oracle: distinct 4-gram strings per doc, df >= 2 → dup
+    def grams(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + 4]) for i in range(len(toks) - 3)}
+    gs = {d["doc_id"]: grams(d["text"]) for d in docs if d["doc_id"] != 3}
+    from collections import Counter
+    c = Counter(g for s in gs.values() for g in s)
+    for did, s in gs.items():
+        nd = sum(1 for g in s if c[g] >= 2)
+        assert df.loc[did, "n_spans"] == len(s)
+        assert df.loc[did, "n_dup_spans"] == nd
+        assert df.loc[did, "dup_frac"] == round(nd / len(s), 6)
+    assert df.loc[2, "n_dup_spans"] == 0 and df.loc[0, "n_dup_spans"] == 1
