@@ -1629,7 +1629,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def asof_join_gate(sf_dir: str):
         """Each click matched to the user's latest preceding (or same-
-        instant) view — DuckDB ASOF LEFT JOIN is the oracle."""
+        instant) view — DuckDB ASOF LEFT JOIN is the oracle. Unmatched
+        clicks keep LEFT-join semantics but the gate coalesces the NULL
+        view_event to -1 on BOTH sides: it is the only gate whose raw
+        output would contain nulls, and null/NaN value-hashing is the
+        one comparison axis the other 36 gates never exercise (they all
+        coalesce in their oracles)."""
         import pyarrow.parquet as pq
 
         from lucene_msmarco_ray.ops.events import asof_join
@@ -1638,10 +1643,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         schema = pq.read_schema(ev)    # metadata-only; filter keeps it
         clicks = read_parquet_sized(ev).filter(expr="event_type == 'click'")
         views = read_parquet_sized(ev).filter(expr="event_type == 'view'")
-        return asof_join(clicks, views, by_col="user_id", ts_col="ts",
-                         right_cols={"event_id": "view_event"},
-                         left_cols=["event_id"],
-                         left_schema=schema, right_schema=schema)
+        joined = asof_join(clicks, views, by_col="user_id", ts_col="ts",
+                           right_cols={"event_id": "view_event"},
+                           left_cols=["event_id"],
+                           left_schema=schema, right_schema=schema)
+
+        def fill(batch):
+            import pyarrow.compute as pc
+            return batch.set_column(
+                batch.schema.get_field_index("view_event"), "view_event",
+                pc.fill_null(batch["view_event"], -1))
+
+        return joined.map_batches(fill, batch_format="pyarrow")
 
     def sessionize_chunked_gate(sf_dir: str):
         """Skew-proof two-level sessionize (per-(user, time-chunk)
@@ -2211,7 +2224,7 @@ FROM o""",
        quantile_disc(l_extendedprice, 0.9) AS p90
 FROM lineitem GROUP BY 1""",
         "asof_join": """SELECT c.user_id, c.event_id,
-       v.event_id AS view_event
+       coalesce(v.event_id, -1) AS view_event
 FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON c.user_id = v.user_id AND c.ts >= v.ts""",
