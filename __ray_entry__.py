@@ -1338,6 +1338,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read16(sf_dir, "documents.parquet", ["text"])
         return pmi_collocations(ds, min_count=5)
 
+    def lm_perplexity_gate(sf_dir: str):
+        """Unigram-LM self-perplexity per document: one groupby trains
+        the LM (vocabulary-sized reduce), fixed-point micro-nat log-probs
+        make per-doc sums exact integers, actor-pool scoring pass."""
+        from lucene_msmarco_ray.ops.textstats import unigram_lm_perplexity
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
+        return unigram_lm_perplexity(ds, concurrency=2)
+
+    def repetition_stats_gate(sf_dir: str):
+        """Gopher-style repetition filters: per-doc top-bigram and
+        duplicated-trigram occupancy, vectorized 62-bit gram hashing —
+        the oracle counts the gram STRINGS independently."""
+        from lucene_msmarco_ray.ops.textstats import repetition_stats
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
+        return repetition_stats(ds)
+
+    def cumulative_agg_gate(sf_dir: str):
+        """Per-user running (count, value) totals ordered by (ts,
+        event_id) — one coarse exchange, segmented fixed-point cumsum;
+        oracle = SQL window cumsum over the same int64 hundredths."""
+        from lucene_msmarco_ray.ops.events import cumulative_agg
+        from lucene_msmarco_ray.sources.pq import read_parquet_sized
+        ds = read_parquet_sized(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "value"])
+        return cumulative_agg(ds)
+
     def langid(sf_dir: str):
         from lucene_msmarco_ray.ops.textstats import lang_id
         ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
@@ -1855,6 +1882,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": curate,
         "token_count": tok_count,
         "pmi_colloc": pmi_colloc,
+        "lm_perplexity": lm_perplexity_gate,
+        "repetition_stats": repetition_stats_gate,
+        "cumulative_agg": cumulative_agg_gate,
         "quality_score": quality,
         "lang_id": langid,
         "fingerprint": fp,
@@ -1952,6 +1982,59 @@ SELECT x || '^' || y AS bigram, cxy::BIGINT AS n_xy,
        round(ln(cxy * tot.t * tot.t / (btot.b * ux.c * uy.c)), 6) AS pmi
 FROM bc, tot, btot, uc ux, uc uy
 WHERE ux.w = bc.x AND uy.w = bc.y AND cxy >= 5""",
+
+        "lm_perplexity": """WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+cf AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS total FROM cf),
+m AS (SELECT term,
+        CAST(floor(ln(c::DOUBLE / total) * 1000000 + 0.5) AS BIGINT) AS micro
+      FROM cf, tot),
+agg AS (SELECT tok.doc_id, sum(m.micro)::BIGINT AS s, count(*)::BIGINT AS n
+        FROM tok JOIN m USING (term) GROUP BY 1)
+SELECT t.doc_id, coalesce(agg.n, 0)::BIGINT AS n_tokens,
+  coalesce(floor((agg.s / 1000000.0 / agg.n) * 1000000 + 0.5) / 1000000.0,
+           0.0) AS avg_logprob,
+  coalesce(floor(exp(-(agg.s / 1000000.0 / agg.n)) * 1000000 + 0.5)
+             / 1000000.0, 1.0) AS ppl
+FROM t LEFT JOIN agg USING (doc_id)""",
+
+        "repetition_stats": """WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM t WHERE len(toks) >= 2),
+c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+s2 AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS f
+       FROM c2 GROUP BY 1),
+g3 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+  FROM t WHERE len(toks) >= 3),
+c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+s3 AS (SELECT doc_id,
+         round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c), 6)
+           AS f
+       FROM c3 GROUP BY 1)
+SELECT t.doc_id, len(toks)::BIGINT AS n_tokens,
+  coalesce(s2.f, 0.0) AS top_bigram_frac,
+  coalesce(s3.f, 0.0) AS dup_trigram_frac
+FROM t LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)""",
+
+        "cumulative_agg": """WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events)
+SELECT event_id, user_id, ts_us,
+  row_number() OVER w AS cum_events,
+  round(sum(cents) OVER w / 100.0, 6) AS cum_value
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
 
         "token_count": """SELECT doc_id,
   len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,

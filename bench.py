@@ -106,7 +106,8 @@ def run_bench() -> dict:
         "ann_bruteforce", "minhash_pairs", "simhash_pairs", "ann_ivf",
         "lm_doc_weights", "sessionize", "sessionize_chunked", "asof_join",
         "range_join", "curate_corpus", "sliding_window", "topk_per_group",
-        "group_quantile", "pack_sequences", "duplicate_spans")
+        "group_quantile", "pack_sequences", "duplicate_spans",
+        "lm_perplexity", "repetition_stats", "cumulative_agg")
     import __ray_entry__ as e
     sys.modules.setdefault("__ray_entry__", e)
     qmap = e.queries()

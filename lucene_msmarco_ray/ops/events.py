@@ -323,6 +323,64 @@ def asof_join(left_ds, right_ds, by_col: str, ts_col: str,
                                              batch_format="pandas")
 
 
+def cumulative_agg(ds, key_col: str = "user_id", ts_col: str = "ts",
+                   value_col: str = "value", id_col: str = "event_id",
+                   num_parts: int | None = None):
+    """Per-key running aggregates ordered by (ts, id) — one output row per
+    event: (event_id, user_id, ts_us, cum_events, cum_value).
+
+    Composition: ONE coarse int-keyed exchange co-locates each key's events
+    (hash(key) into ``coarse_parts()`` partitions, many keys per partition),
+    then a single vectorized pass per partition: lexsort + segmented cumsum.
+    Values sum as exact int64 hundredths (the sliding_window fixed-point
+    discipline) so the running totals are bit-stable under any partitioning
+    — and the SQL oracle's window cumsum replays the same integers.
+
+    Partitioning assumption: one key's events fit a task (same bound as
+    sessionize; use a chunked two-level variant for pathologically hot keys
+    — the running total then needs a per-chunk offset scan like
+    ``pack_sequences``)."""
+    parts = np.uint64(coarse_parts(num_parts))
+
+    def part_of(batch: pa.Table) -> pa.Table:
+        u = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_mix64(u) % parts).astype(np.int64)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "__part": pa.array(p),
+            "user_id": batch[key_col].cast(pa.int64()),
+            "ts_us": pa.array(_ts_us(batch[ts_col])),
+            "event_id": batch[id_col].cast(pa.int64()),
+            "cents": pa.array(cents),
+        })
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        cents = g["cents"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, cents = u[order], ts[order], eid[order], cents[order]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        ustarts = np.flatnonzero(new_user)
+        ulens = np.diff(np.concatenate((ustarts, [u.size])))
+        cs = np.cumsum(cents)
+        base = np.repeat(cs[ustarts] - cents[ustarts], ulens)
+        cnt = np.arange(u.size, dtype=np.int64) - np.repeat(ustarts, ulens) + 1
+        return pd.DataFrame({
+            "event_id": eid,
+            "user_id": u,
+            "ts_us": ts,
+            "cum_events": cnt,
+            "cum_value": np.round((cs - base) / 100.0, 6),
+        })
+
+    running.__name__ = "cumulative_agg"
+    return (ds.map_batches(part_of, batch_format="pyarrow")
+            .groupby("__part").map_groups(running, batch_format="pandas"))
+
+
 def windowed_agg(ds, window_seconds: int = 3600, key_col: str = "event_type",
                  ts_col: str = "ts", value_col: str = "value"):
     """Tumbling-window aggregate → (event_type, window_id, n_events,

@@ -167,6 +167,149 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+class _LmScoreStage:
+    """Scores batches against a broadcast unigram LM: the hash index over
+    the vocabulary builds ONCE per actor (``__init__``), not per batch."""
+
+    def __init__(self, bref, oov_micro: int):
+        import pandas as pd
+        import ray
+        terms, micro = ray.get(bref)
+        self.index = pd.Index(terms)
+        self.micro = micro
+        self.oov = np.int64(oov_micro)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, counts = _flat_tokens(batch["__text"])
+        n_docs = counts.size
+        s = np.zeros(n_docs, np.int64)
+        avg = np.zeros(n_docs, np.float64)
+        ppl = np.ones(n_docs, np.float64)
+        nz, offs = _doc_segments(counts)
+        if nz.size:
+            pos = self.index.get_indexer(flat.to_pandas())
+            per_tok = np.where(pos >= 0,
+                               self.micro[np.clip(pos, 0, None)], self.oov)
+            s[nz] = np.add.reduceat(per_tok, offs)
+            a = s[nz] / 1e6 / counts[nz]
+            # explicit floor(x*1e6+0.5)/1e6 rounding: avg is a ratio of
+            # small integers, so exact .5 ties at 6dp are COMMON and
+            # half-even (numpy) vs half-away (SQL round()) would diverge
+            avg[nz] = np.floor(a * 1e6 + 0.5) / 1e6
+            ppl[nz] = np.floor(np.exp(-a) * 1e6 + 0.5) / 1e6
+        return pa.table({"doc_id": batch["__id"],
+                         "n_tokens": pa.array(counts),
+                         "avg_logprob": pa.array(avg),
+                         "ppl": pa.array(ppl)})
+
+
+def unigram_lm_perplexity(ds, text_col: str = "text", id_col: str = "doc_id",
+                          score_ds=None, concurrency: int = 4):
+    """Per-document unigram-LM perplexity (the CCNet/quality-filter signal)
+    → (doc_id, n_tokens, avg_logprob, ppl).
+
+    Two passes. Pass 1 trains the LM: batch-local token counts (partials are
+    batch-vocabulary-sized) → ONE groupby exchange → the reduced (term, cf)
+    table, the only thing materialized — bounded by vocabulary, never the
+    token stream. Per-token log-probs become fixed-point micro-nats
+    ``int64(floor(ln(cf/T)·1e6 + 0.5))`` so every per-doc sum is an EXACT
+    integer — bit-stable under any partitioning or summation order, and the
+    SQL oracle replays the same integers. Pass 2 broadcasts the (term,
+    micro) arrays once via ``ray.put`` and scores with a per-actor hash
+    index + ``reduceat`` (no per-row Python).
+
+    OOV (only when ``score_ds`` differs from the training corpus): absent
+    tokens cost ``ln(0.5/T)`` micro-nats. ``avg_logprob`` is
+    ``sum_micro/1e6/n`` and ``ppl = exp(-avg)``; empty docs score (0, 1)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(batch[text_col])
+        vc = flat.to_pandas().value_counts()
+        return pa.table({
+            "term": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+            "c": pa.array(vc.to_numpy(np.int64))})
+
+    vocab = (ds.map_batches(count_partial, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("c")).to_pandas())
+    cf = vocab["sum(c)"].to_numpy(np.float64)
+    total = float(cf.sum())
+    micro = np.floor(np.log(cf / total) * 1e6 + 0.5).astype(np.int64)
+    terms = vocab["term"].to_numpy(dtype=object)
+    oov_micro = int(np.floor(np.log(0.5 / total) * 1e6 + 0.5))
+    bref = ray.put((terms, micro))
+
+    target = score_ds if score_ds is not None else ds
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"__id": batch[id_col].cast(pa.int64()),
+                         "__text": batch[text_col]})
+
+    return (target.map_batches(project, batch_format="pyarrow")
+            .map_batches(_LmScoreStage, fn_constructor_args=(bref, oov_micro),
+                         batch_format="pyarrow", concurrency=concurrency))
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Within-document repetition signals (the Gopher repetition filters)
+    → (doc_id, n_tokens, top_bigram_frac, dup_trigram_frac).
+
+    * ``top_bigram_frac``  — occurrences of the doc's most frequent word
+      bigram / total bigrams (0 when the doc has < 2 tokens);
+    * ``dup_trigram_frac`` — fraction of trigram occurrences whose trigram
+      appears ≥ 2× within the doc (0 when < 3 tokens).
+
+    Stateless single text pass, fully vectorized: grams are the dedup
+    family's composed polynomial hashes under TWO bases (62-bit combined —
+    within-doc collision odds ~L²/2^63, negligible), per-doc run-length
+    stats via one lexsort + ``reduceat``. The SQL oracle counts the gram
+    STRINGS, so it independently checks the hash-equality semantics."""
+    from .dedup import HASH_BASE, HASH_BASE2, _gram_hashes, _poly_hashes
+
+    def f(batch: pa.Table) -> pa.Table:
+        flat, counts = _flat_tokens(batch[text_col])
+        n_docs = counts.size
+        toks = flat.to_pylist()
+        h1, tlen = _poly_hashes(toks, HASH_BASE)
+        h2, _ = _poly_hashes(toks, HASH_BASE2)
+        out = {}
+        for k, stat in ((2, "top"), (3, "dup")):
+            frac = np.zeros(n_docs, np.float64)
+            g1, per_doc = _gram_hashes(h1, tlen, counts, k, HASH_BASE)
+            g2, _ = _gram_hashes(h2, tlen, counts, k, HASH_BASE2)
+            g = (g1 << np.uint64(31)) | g2
+            nzg = np.flatnonzero(per_doc)
+            if nzg.size:
+                d = np.repeat(np.arange(n_docs), per_doc)
+                order = np.lexsort((g, d))
+                gs, dd = g[order], d[order]
+                new = np.concatenate(
+                    ([True], (dd[1:] != dd[:-1]) | (gs[1:] != gs[:-1])))
+                run_id = np.cumsum(new) - 1
+                run_len = np.bincount(run_id)
+                run_doc = dd[np.flatnonzero(new)]
+                rd_starts = np.flatnonzero(np.concatenate(
+                    ([True], run_doc[1:] != run_doc[:-1])))
+                docs_present = run_doc[rd_starts]
+                if stat == "top":
+                    val = np.maximum.reduceat(run_len, rd_starts)
+                else:
+                    val = np.add.reduceat(
+                        np.where(run_len >= 2, run_len, 0), rd_starts)
+                frac[docs_present] = val / per_doc[docs_present]
+            # docs with < k tokens got a whole-doc gram from _gram_hashes —
+            # repetition over a single gram is meaningless; define as 0
+            frac[counts < k] = 0.0
+            out[stat] = np.round(frac, 6)
+        return pa.table({"doc_id": batch[id_col].cast(pa.int64()),
+                         "n_tokens": pa.array(counts),
+                         "top_bigram_frac": pa.array(out["top"]),
+                         "dup_trigram_frac": pa.array(out["dup"])})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def pmi_collocations(ds, text_col: str = "text", min_count: int = 2):
     """Top collocations by pointwise mutual information over ADJACENT
     whitespace-token pairs → (bigram "x^y", n_xy, pmi), pmi rounded to 6.

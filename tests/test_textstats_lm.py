@@ -1,0 +1,92 @@
+"""Unigram-LM perplexity, repetition stats, and per-key running aggregates
+against hand-computed goldens."""
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+
+
+def _docs(rows):
+    import ray.data as rd
+    return rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(rows)],
+        override_num_blocks=2)
+
+
+def test_unigram_lm_perplexity_goldens(ray_session):
+    from lucene_msmarco_ray.ops.textstats import unigram_lm_perplexity
+    # corpus: counts a=3, b=2, c=1 → T=6
+    ds = _docs(["a a b", "a b c", ""])
+    out = unigram_lm_perplexity(ds, concurrency=1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    micro = {t: math.floor(math.log(c / 6) * 1e6 + 0.5)
+             for t, c in (("a", 3), ("b", 2), ("c", 1))}
+
+    def golden(toks):
+        s = sum(micro[t] for t in toks)
+        a = s / 1e6 / len(toks)
+        return (math.floor(a * 1e6 + 0.5) / 1e6,
+                math.floor(math.exp(-a) * 1e6 + 0.5) / 1e6)
+
+    assert out["n_tokens"].tolist() == [3, 3, 0]
+    a0, p0 = golden(["a", "a", "b"])
+    a1, p1 = golden(["a", "b", "c"])
+    assert out["avg_logprob"].tolist() == [a0, a1, 0.0]
+    assert out["ppl"].tolist() == [p0, p1, 1.0]
+    # self-perplexity of the more-probable doc is lower
+    assert p0 < p1
+
+
+def test_unigram_lm_oov_floor(ray_session):
+    from lucene_msmarco_ray.ops.textstats import unigram_lm_perplexity
+    train = _docs(["a a b b"])           # T=4, vocab {a, b}
+    score = _docs(["a zzz"])             # zzz is OOV
+    out = unigram_lm_perplexity(train, score_ds=score,
+                                concurrency=1).to_pandas()
+    m_a = math.floor(math.log(2 / 4) * 1e6 + 0.5)
+    m_oov = math.floor(math.log(0.5 / 4) * 1e6 + 0.5)
+    a = (m_a + m_oov) / 1e6 / 2
+    assert out["avg_logprob"].tolist() == [math.floor(a * 1e6 + 0.5) / 1e6]
+
+
+def test_repetition_stats_goldens(ray_session):
+    from lucene_msmarco_ray.ops.textstats import repetition_stats
+    ds = _docs([
+        "x y x y x",      # bigrams: xy,yx,xy,yx → top 2/4; trigrams:
+                          # xyx,yxy,xyx → dup occurrences 2/3
+        "a b c d",        # all bigrams/trigrams unique → 1/3, 0
+        "w w w w",        # ww×3 → 3/3; www×2 → 2/2
+        "p q",            # one bigram, no trigram → 1/1, 0
+        "solo",           # <2 tokens → both 0
+        "",
+    ])
+    out = repetition_stats(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_tokens"].tolist() == [5, 4, 4, 2, 1, 0]
+    assert out["top_bigram_frac"].tolist() == [0.5, round(1 / 3, 6), 1.0,
+                                               1.0, 0.0, 0.0]
+    assert out["dup_trigram_frac"].tolist() == [
+        round(np.floor(2 / 3 * 1e6 + 0.5) / 1e6, 6), 0.0, 1.0, 0.0, 0.0, 0.0]
+
+
+def test_cumulative_agg_goldens(ray_session):
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.events import cumulative_agg
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, user, sec, value):
+        return {"event_id": eid, "user_id": user,
+                "ts": base + dt.timedelta(seconds=sec), "value": value}
+
+    rows = [ev(0, 1, 0, 1.25), ev(2, 1, 10, 2.0), ev(1, 1, 10, 4.5),
+            ev(3, 2, 5, 10.0)]
+    out = cumulative_agg(rd.from_items(rows, override_num_blocks=2)) \
+        .to_pandas().sort_values(["user_id", "ts_us", "event_id"]) \
+        .reset_index(drop=True)
+    # ties on ts order by event_id: user 1 order = 0, 1, 2
+    assert out["event_id"].tolist() == [0, 1, 2, 3]
+    assert out["cum_events"].tolist() == [1, 2, 3, 1]
+    assert out["cum_value"].tolist() == [1.25, 5.75, 7.75, 10.0]
