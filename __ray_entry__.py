@@ -1354,6 +1354,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         return repetition_stats(ds)
 
+    def _projected_schema(sf_dir: str, table: str, cols: list):
+        import pyarrow.parquet as pq
+        sch = pq.read_schema(os.path.join(sf_dir, table))
+        return pa.schema([sch.field(c) for c in cols])
+
+    def semi_join_gate(sf_dir: str):
+        """Lineitems of URGENT orders via the bucketed semi join — the
+        right side ships only its (deduped) key column; oracle = WHERE
+        EXISTS."""
+        from lucene_msmarco_ray.ops.join import bucketed_semi_join
+        lcols = ["l_orderkey", "l_linenumber", "l_extendedprice"]
+        left = _read16(sf_dir, "lineitem.parquet", lcols)
+        right = _read16(sf_dir, "orders.parquet",
+                        ["o_orderkey", "o_orderpriority"]) \
+            .filter(expr="o_orderpriority == '1-URGENT'")
+        return bucketed_semi_join(
+            left, right, key="l_orderkey", right_key="o_orderkey",
+            how="semi",
+            left_schema=_projected_schema(sf_dir, "lineitem.parquet", lcols))
+
+    def anti_join_gate(sf_dir: str):
+        """Lineitems of non-URGENT orders (NOT EXISTS) — same exchange,
+        inverted membership."""
+        from lucene_msmarco_ray.ops.join import bucketed_semi_join
+        lcols = ["l_orderkey", "l_linenumber", "l_extendedprice"]
+        left = _read16(sf_dir, "lineitem.parquet", lcols)
+        right = _read16(sf_dir, "orders.parquet",
+                        ["o_orderkey", "o_orderpriority"]) \
+            .filter(expr="o_orderpriority == '1-URGENT'")
+        return bucketed_semi_join(
+            left, right, key="l_orderkey", right_key="o_orderkey",
+            how="anti",
+            left_schema=_projected_schema(sf_dir, "lineitem.parquet", lcols))
+
+    def rrf_fuse_gate(sf_dir: str):
+        """Reciprocal-rank fusion of two per-language document rankings
+        (longest-docs and smallest-ids, both built with the partial-top-k
+        combiner); contributions are exact int64 floor divisions so the
+        fused scores are bit-stable and the oracle replays them with
+        SQL // arithmetic."""
+        from lucene_msmarco_ray.ops.relational import (rrf_fuse,
+                                                       topk_per_group)
+        docs = _read16(sf_dir, "documents.parquet",
+                       ["doc_id", "lang", "n_chars"])
+        run_a = topk_per_group(docs, ["lang"], "n_chars", 50,
+                               descending=True, tie_cols=["doc_id"]) \
+            .select_columns(["lang", "doc_id", "rank"])
+        run_b = topk_per_group(docs, ["lang"], "doc_id", 50,
+                               descending=False) \
+            .select_columns(["lang", "doc_id", "rank"])
+        return rrf_fuse([run_a, run_b], k_rrf=60, group_col="lang",
+                        item_col="doc_id", topk=20)
+
     def cumulative_agg_gate(sf_dir: str):
         """Per-user running (count, value) totals ordered by (ts,
         event_id) — one coarse exchange, segmented fixed-point cumsum;
@@ -1885,6 +1938,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": lm_perplexity_gate,
         "repetition_stats": repetition_stats_gate,
         "cumulative_agg": cumulative_agg_gate,
+        "semi_join": semi_join_gate,
+        "anti_join": anti_join_gate,
+        "rrf_fuse": rrf_fuse_gate,
         "quality_score": quality,
         "lang_id": langid,
         "fingerprint": fp,
@@ -2024,6 +2080,37 @@ SELECT t.doc_id, len(toks)::BIGINT AS n_tokens,
   coalesce(s2.f, 0.0) AS top_bigram_frac,
   coalesce(s3.f, 0.0) AS dup_trigram_frac
 FROM t LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)""",
+
+        "semi_join": """SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_orderpriority = '1-URGENT')""",
+
+        "anti_join": """SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_orderpriority = '1-URGENT')""",
+
+        "rrf_fuse": """WITH a AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents QUALIFY rank <= 50),
+b AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rank
+  FROM documents QUALIFY rank <= 50),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+f AS (SELECT lang, doc_id,
+             sum(1000000000000 // (60 + rank))::BIGINT AS rrf_micro,
+             count(*)::BIGINT AS n_runs
+      FROM u GROUP BY 1, 2)
+SELECT lang, doc_id, rrf_micro, n_runs,
+       row_number() OVER (PARTITION BY lang
+                          ORDER BY rrf_micro DESC, doc_id)::BIGINT AS rank
+FROM f QUALIFY rank <= 20""",
 
         "cumulative_agg": """WITH e AS (
   SELECT event_id, user_id, epoch_us(ts) AS ts_us,

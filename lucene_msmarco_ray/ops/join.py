@@ -123,6 +123,74 @@ def bucketed_hash_join(left, right, key: str, num_buckets: int = 32,
                                                batch_format="pyarrow")
 
 
+def bucketed_semi_join(left, right, key: str, how: str = "semi",
+                       num_buckets: int = 32, right_key: str | None = None,
+                       left_schema: pa.Schema | None = None):
+    """Semi / anti join: left rows whose ``key`` does (semi) or does not
+    (anti) appear in ``right``'s key column — SQL ``WHERE [NOT] EXISTS``.
+
+    Scale shape: the right side ships ONLY its key column, deduplicated
+    per batch before the exchange (so a foreign-key side with massive
+    fan-in shrinks to its distinct keys in the map stage); the left rows
+    cross the same one bucket exchange as :func:`bucketed_hash_join`, and
+    each bucket filters with one vectorized ``isin``. Output schema is
+    exactly the left schema — no padding columns survive."""
+    if how not in ("semi", "anti"):
+        raise ValueError(f"how must be 'semi' or 'anti', got {how!r}")
+    rkey = right_key or key
+    lschema = (left_schema if left_schema is not None
+               else left.schema().base_schema)
+
+    fields = [pa.field(n, lschema.field(n).type) for n in lschema.names]
+    fields += [pa.field("__bucket", pa.int64()),
+               pa.field("__side", pa.int8())]
+    target = pa.schema(fields)
+    out_schema = pa.schema(
+        [pa.field(n, lschema.field(n).type) for n in lschema.names])
+
+    def right_keys(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keys = pc.unique(batch[rkey].combine_chunks()
+                         if isinstance(batch[rkey], pa.ChunkedArray)
+                         else batch[rkey]).cast(lschema.field(key).type)
+        n = len(keys)
+        cols = []
+        for field in target:
+            if field.name == "__bucket":
+                cols.append(pa.array(_hash_mod(keys, num_buckets),
+                                     type=pa.int64()))
+            elif field.name == "__side":
+                cols.append(pa.array(np.full(n, 1, np.int8)))
+            elif field.name == key:
+                cols.append(keys)
+            else:
+                cols.append(pa.nulls(n, type=field.type))
+        return pa.Table.from_arrays(cols, schema=target)
+
+    lds = _with_bucket(left, key, num_buckets, 0, target)
+    rds = right.select_columns([rkey]) \
+        .map_batches(right_keys, batch_format="pyarrow")
+
+    keep_match = how == "semi"
+
+    def filter_bucket(g: pa.Table) -> pa.Table:
+        side = g["__side"].combine_chunks().to_numpy(zero_copy_only=False)
+        lg = g.filter(pa.array(side == 0))
+        if lg.num_rows == 0:
+            return out_schema.empty_table()
+        rk = np.unique(g.filter(pa.array(side == 1))[key]
+                       .to_numpy(zero_copy_only=False))
+        lk = lg[key].to_numpy(zero_copy_only=False)
+        mask = np.isin(lk, rk)
+        keep = lg.filter(pa.array(mask if keep_match else ~mask))
+        return pa.Table.from_arrays(
+            [keep[n] for n in out_schema.names], schema=out_schema)
+
+    filter_bucket.__name__ = f"{how}_join_bucket"
+    return lds.union(rds).groupby("__bucket") \
+        .map_groups(filter_bucket, batch_format="pyarrow")
+
+
 def bucketed_range_join(left, right, *, lo_col: str, hi_col: str,
                         point_col: str, key: str | None = None,
                         bucket_width: int = 3_600_000_000,

@@ -429,3 +429,52 @@ def sample_n(ds, id_col: str, n: int, salt: int = 0):
             .repartition(1)
             .map_batches(final, batch_format="pyarrow",
                          batch_size=None))
+
+
+def rrf_fuse(runs, k_rrf: int = 60, group_col: str = "qid",
+             item_col: str = "doc_id", rank_col: str = "rank",
+             topk: int | None = None):
+    """Reciprocal-rank fusion of N ranked lists (Cormack/Clarke/Büttcher
+    2009) → (group, item, rrf_micro, n_runs, rank).
+
+    Each run contributes ``10^12 // (k_rrf + rank)`` — PURE int64 floor
+    division, so the fused score is an exact integer sum, bit-stable under
+    any partitioning/summation order and replayable in SQL as
+    ``sum(1000000000000 // (60 + rank))``. One groupby exchange moves only
+    (group, item, contribution) rows; the final per-group ranking reuses
+    the partial-top-k combiner (:func:`topk_per_group`) so at most
+    ``topk`` rows per group per block cross the second exchange.
+
+    ``runs``: list of Datasets each holding (group_col, item_col,
+    rank_col) with 1-based ranks."""
+    from ray.data.aggregate import Sum
+
+    big = np.int64(10 ** 12)
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        r = batch[rank_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            group_col: batch[group_col],
+            item_col: batch[item_col].cast(pa.int64()),
+            "m": pa.array(big // (k_rrf + r)),
+            "n": pa.array(np.ones(len(r), np.int64)),
+        })
+
+    parts = [r.map_batches(contrib, batch_format="pyarrow") for r in runs]
+    unioned = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    agg = unioned.groupby([group_col, item_col]) \
+        .aggregate(Sum("m"), Sum("n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            group_col: batch[group_col],
+            item_col: batch[item_col],
+            "rrf_micro": batch["sum(m)"].cast(pa.int64()),
+            "n_runs": batch["sum(n)"].cast(pa.int64()),
+        })
+
+    fused = agg.map_batches(rename, batch_format="pyarrow")
+    if topk is None:
+        return fused
+    return topk_per_group(fused, [group_col], "rrf_micro", topk,
+                          descending=True, tie_cols=[item_col])
