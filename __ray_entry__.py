@@ -1354,6 +1354,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         return repetition_stats(ds)
 
+    def normalize_text_gate(sf_dir: str):
+        """Curation normalization (lowercase + whitespace collapse + trim)
+        — three Arrow RE2 kernels vs the oracle's lower/regexp_replace/
+        trim."""
+        from lucene_msmarco_ray.ops.textstats import normalize_text
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
+        return normalize_text(ds)
+
     def _projected_schema(sf_dir: str, table: str, cols: list):
         import pyarrow.parquet as pq
         sch = pq.read_schema(os.path.join(sf_dir, table))
@@ -1941,6 +1949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": semi_join_gate,
         "anti_join": anti_join_gate,
         "rrf_fuse": rrf_fuse_gate,
+        "normalize_text": normalize_text_gate,
         "quality_score": quality,
         "lang_id": langid,
         "fingerprint": fp,
@@ -2080,6 +2089,12 @@ SELECT t.doc_id, len(toks)::BIGINT AS n_tokens,
   coalesce(s2.f, 0.0) AS top_bigram_frac,
   coalesce(s3.f, 0.0) AS dup_trigram_frac
 FROM t LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)""",
+
+        "normalize_text": """SELECT doc_id,
+  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text,
+  len(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))::BIGINT
+    AS n_chars_norm
+FROM documents""",
 
         "semi_join": """SELECT l_orderkey, l_linenumber, l_extendedprice
 FROM lineitem l

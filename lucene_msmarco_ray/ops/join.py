@@ -65,14 +65,33 @@ def _with_bucket(ds, key: str, num_buckets: int, side: int,
 def bucketed_hash_join(left, right, key: str, num_buckets: int = 32,
                        how: str = "inner", suffixes=("_l", "_r"),
                        left_schema: pa.Schema | None = None,
-                       right_schema: pa.Schema | None = None):
+                       right_schema: pa.Schema | None = None,
+                       hot_keys=None, hot_replicas: int = 8):
     """Equi-join two Datasets on ``key``. One shuffle (the bucket groupby);
     per-bucket pandas merge with per-side dtype preservation. For
     ``how != "inner"`` unmatched rows carry typed NULLs (integer columns
     stay integers — the output is rebuilt against the declared schema).
     Pass ``left_schema``/``right_schema`` when the inputs are transformed
     datasets — ``ds.schema()`` on those executes a hidden limit-1 job per
-    side just to learn the dtypes."""
+    side just to learn the dtypes.
+
+    **Hot-key salting** (``hot_keys``): a skewed key otherwise lands its
+    entire fan-in in ONE bucket task. Passing the hot key list (from prior
+    knowledge or a cheap count pass — :func:`detect_hot_keys`) splits each
+    hot key's LEFT rows across ``hot_replicas`` salt buckets (any split
+    works — the salt never changes WHICH pairs match, only where they are
+    computed) and replicates the RIGHT rows of that key to all of them, so
+    the per-task bound drops to fan-in/replicas at the cost of
+    ``replicas×`` the (small) hot right side. Only valid for ``inner`` and
+    ``left`` joins — replicated right rows would duplicate the unmatched
+    output of right/outer joins."""
+    hot = set(hot_keys) if hot_keys else None
+    if hot and how not in ("inner", "left"):
+        raise ValueError("hot_keys salting supports only inner/left joins "
+                         "(replicated right rows would duplicate unmatched "
+                         f"rows of a {how!r} join)")
+    if hot and hot_replicas < 2:
+        raise ValueError("hot_replicas must be >= 2")
     lschema = (left_schema if left_schema is not None
                else left.schema().base_schema)
     rschema = (right_schema if right_schema is not None
@@ -92,8 +111,59 @@ def bucketed_hash_join(left, right, key: str, num_buckets: int = 32,
     fields += [pa.field("__bucket", pa.int64()), pa.field("__side", pa.int8())]
     target = pa.schema(fields)
 
-    lds = _with_bucket(left, key, num_buckets, 0, target)
-    rds = _with_bucket(right, key, num_buckets, 1, target)
+    if hot is None:
+        lds = _with_bucket(left, key, num_buckets, 0, target)
+        rds = _with_bucket(right, key, num_buckets, 1, target)
+    else:
+        hot_arr = pa.array(sorted(hot), type=lschema.field(key).type)
+        rep = np.int64(hot_replicas)
+
+        def salt_side(side: int):
+            def f(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                base = _hash_mod(batch[key], num_buckets)
+                is_hot = pc.is_in(batch[key].combine_chunks()
+                                  if isinstance(batch[key], pa.ChunkedArray)
+                                  else batch[key], value_set=hot_arr) \
+                    .to_numpy(zero_copy_only=False)
+                n = batch.num_rows
+                if side == 0:
+                    # ANY salt split is correct (it only moves where the
+                    # pairs are computed) — round-robin bounds every
+                    # replica bucket at fan-in/replicas
+                    salt = np.zeros(n, np.int64)
+                    salt[is_hot] = np.arange(int(is_hot.sum()),
+                                             dtype=np.int64) % rep
+                    tbl, bucket = batch, base * rep + salt
+                else:
+                    # replicate hot right rows to every salt bucket
+                    idx = np.concatenate(
+                        [np.flatnonzero(~is_hot),
+                         np.repeat(np.flatnonzero(is_hot), int(rep))])
+                    salt = np.concatenate(
+                        [np.zeros(int((~is_hot).sum()), np.int64),
+                         np.tile(np.arange(int(rep), dtype=np.int64),
+                                 int(is_hot.sum()))])
+                    tbl = batch.take(pa.array(idx))
+                    bucket = base[idx] * rep + salt
+                out_cols = []
+                for field in target:
+                    if field.name == "__bucket":
+                        out_cols.append(pa.array(bucket, pa.int64()))
+                    elif field.name == "__side":
+                        out_cols.append(pa.array(
+                            np.full(tbl.num_rows, side, np.int8)))
+                    elif field.name in tbl.column_names:
+                        out_cols.append(tbl[field.name].cast(field.type))
+                    else:
+                        out_cols.append(pa.nulls(tbl.num_rows,
+                                                 type=field.type))
+                return pa.Table.from_arrays(out_cols, schema=target)
+            f.__name__ = f"salted_bucket_side{side}"
+            return f
+
+        lds = left.map_batches(salt_side(0), batch_format="pyarrow")
+        rds = right.map_batches(salt_side(1), batch_format="pyarrow")
     both = lds.union(rds)
 
     out_fields = [f for f in target if f.name not in ("__bucket", "__side")]
@@ -121,6 +191,31 @@ def bucketed_hash_join(left, right, key: str, num_buckets: int = 32,
     join_bucket.__name__ = "join_bucket"
     return both.groupby("__bucket").map_groups(join_bucket,
                                                batch_format="pyarrow")
+
+
+def detect_hot_keys(ds, key: str, threshold: int) -> list:
+    """Keys whose row count exceeds ``threshold`` — the cheap pre-pass
+    feeding ``bucketed_hash_join(hot_keys=...)``. Batch-local counts are
+    pre-aggregated before the one (key, partial) exchange, so the shuffle
+    is batch-vocabulary-sized; only the (tiny) over-threshold list reaches
+    the driver."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch[key].to_pandas().value_counts()
+        return pa.table({key: pa.array(vc.index.to_numpy()),
+                         "c": pa.array(vc.to_numpy(np.int64))})
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({key: batch[key], "c": batch["sum(c)"]})
+
+    hot = (ds.select_columns([key])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(key).aggregate(Sum("c"))
+           .map_batches(rename, batch_format="pyarrow")
+           .filter(expr=f"c > {int(threshold)}")
+           .to_pandas())
+    return sorted(hot[key].tolist())
 
 
 def bucketed_semi_join(left, right, key: str, how: str = "semi",

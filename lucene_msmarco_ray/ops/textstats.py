@@ -379,3 +379,26 @@ def pmi_collocations(ds, text_col: str = "text", min_count: int = 2):
 
     return counts.filter(expr="y != ''") \
         .map_batches(score, batch_format="pyarrow")
+
+
+def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Curation text normalization → (doc_id, norm_text, n_chars_norm):
+    lowercase, collapse whitespace runs to one space, trim. All three are
+    single Arrow kernels (utf8_lower / replace_substring_regex /
+    utf8_trim_whitespace — RE2, same dialect the SQL oracle's
+    regexp_replace uses), so the stage is zero-copy streaming with no
+    Python in the loop."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(col), r"\s+", " "))
+        return pa.table({
+            "doc_id": batch[id_col].cast(pa.int64()),
+            "norm_text": norm,
+            "n_chars_norm": pc.utf8_length(norm).cast(pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -62,3 +62,53 @@ def test_rrf_fuse_goldens(ray_session):
         .sort_values("rank").reset_index(drop=True)
     assert ranked["doc_id"].tolist() == [10, 20]
     assert ranked["rank"].tolist() == [1, 2]
+
+
+def test_salted_join_matches_unsalted_under_forced_skew(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.join import bucketed_hash_join, detect_hot_keys
+    # key 7 is pathologically hot on the left (500 rows); right has 3 rows
+    # of it — the exact shape salting exists for
+    lk = np.concatenate([np.full(500, 7), np.arange(100)])
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(lk, pa.int64()),
+        "lv": pa.array(np.arange(lk.size), pa.int64())}))
+    rk = np.array([7, 7, 7, 1, 2, 999])
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(rk, pa.int64()),
+        "rv": pa.array(np.arange(rk.size) * 10, pa.int64())}))
+    lsch = pa.schema([("k", pa.int64()), ("lv", pa.int64())])
+    rsch = pa.schema([("k", pa.int64()), ("rv", pa.int64())])
+
+    hot = detect_hot_keys(left, "k", threshold=100)
+    assert hot == [7]
+
+    def canon(df):
+        return df.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+
+    for how in ("inner", "left"):
+        plain = canon(bucketed_hash_join(
+            left, right, "k", how=how,
+            left_schema=lsch, right_schema=rsch).to_pandas())
+        salted = canon(bucketed_hash_join(
+            left, right, "k", how=how, hot_keys=hot, hot_replicas=4,
+            left_schema=lsch, right_schema=rsch).to_pandas())
+        pd.testing.assert_frame_equal(plain, salted)
+        # golden: pandas merge on the same inputs
+        gold = canon(
+            pd.DataFrame({"k": lk, "lv": np.arange(lk.size)}).merge(
+                pd.DataFrame({"k": rk, "rv": np.arange(rk.size) * 10}),
+                on="k", how=how))
+        if how == "left":
+            gold["rv"] = gold["rv"].astype("Int64")
+            salted["rv"] = salted["rv"].astype("Int64")
+        pd.testing.assert_frame_equal(
+            gold.reset_index(drop=True), canon(salted), check_dtype=False)
+
+
+def test_salted_join_rejects_outer(ray_session):
+    from lucene_msmarco_ray.ops.join import bucketed_hash_join
+    with pytest.raises(ValueError):
+        bucketed_hash_join(None, None, "k", how="outer", hot_keys=[1])
