@@ -1354,6 +1354,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         return repetition_stats(ds)
 
+    def group_centroids_gate(sf_dir: str):
+        """Per-label embedding centroids (long format) — batch-local
+        partial sums in exact int64 micro-units, one (label, dim)-sized
+        exchange; oracle replays via embedding[i] + generate_series."""
+        from lucene_msmarco_ray.ops.ann import group_centroids
+        ds = _read16(sf_dir, "embeddings.parquet", ["label", "embedding"])
+        return group_centroids(ds)
+
+    def quantile_filter_gate(sf_dir: str):
+        """Composite: docs longer than their language's p90 n_chars —
+        group_quantile thresholds (tiny, one row per lang) broadcast into
+        a stateless filter pass; oracle = quantile_disc window."""
+        import ray
+
+        from lucene_msmarco_ray.ops.relational import group_quantile
+        docs = _read16(sf_dir, "documents.parquet",
+                       ["doc_id", "lang", "n_chars"])
+        thr = group_quantile(docs, ["lang"], "n_chars", [0.9], ["p90"]) \
+            .to_pandas()
+        tref = ray.put(dict(zip(thr["lang"], thr["p90"])))
+
+        def keep(batch):
+            import numpy as np
+            import pyarrow as pa
+            tm = ray.get(tref)
+            lang = batch["lang"].to_pylist()
+            cut = np.array([tm[v] for v in lang], np.float64)
+            n = batch["n_chars"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(n > cut))
+
+        return docs.map_batches(keep, batch_format="pyarrow")
+
     def normalize_text_gate(sf_dir: str):
         """Curation normalization (lowercase + whitespace collapse + trim)
         — three Arrow RE2 kernels vs the oracle's lower/regexp_replace/
@@ -1950,6 +1982,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": anti_join_gate,
         "rrf_fuse": rrf_fuse_gate,
         "normalize_text": normalize_text_gate,
+        "group_centroids": group_centroids_gate,
+        "quantile_filter": quantile_filter_gate,
         "quality_score": quality,
         "lang_id": langid,
         "fingerprint": fp,
@@ -2089,6 +2123,24 @@ SELECT t.doc_id, len(toks)::BIGINT AS n_tokens,
   coalesce(s2.f, 0.0) AS top_bigram_frac,
   coalesce(s3.f, 0.0) AS dup_trigram_frac
 FROM t LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)""",
+
+        "group_centroids": """WITH el AS (
+  SELECT label, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT)
+           AS m
+  FROM embeddings),
+agg AS (SELECT label, i, sum(m)::BIGINT AS s, count(*)::BIGINT AS n
+        FROM el GROUP BY 1, 2)
+SELECT label::BIGINT AS label, i::BIGINT AS dim, n AS n_vecs,
+       floor((s / 1000000.0 / n) * 1000000 + 0.5) / 1000000.0 AS centroid
+FROM agg""",
+
+        "quantile_filter": """WITH q AS (
+  SELECT lang, quantile_disc(n_chars, 0.9) AS p90
+  FROM documents GROUP BY 1)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN q USING (lang)
+WHERE d.n_chars > q.p90""",
 
         "normalize_text": """SELECT doc_id,
   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text,

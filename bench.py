@@ -107,7 +107,9 @@ def run_bench() -> dict:
         "lm_doc_weights", "sessionize", "sessionize_chunked", "asof_join",
         "range_join", "curate_corpus", "sliding_window", "topk_per_group",
         "group_quantile", "pack_sequences", "duplicate_spans",
-        "lm_perplexity", "repetition_stats", "cumulative_agg")
+        "lm_perplexity", "repetition_stats", "cumulative_agg",
+        "semi_join", "rrf_fuse", "normalize_text", "group_centroids",
+        "quantile_filter")
     import __ray_entry__ as e
     sys.modules.setdefault("__ray_entry__", e)
     qmap = e.queries()

@@ -417,3 +417,52 @@ def lsh_knn(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 10,
         num_cpus=0.5)
     return partial.groupby("q_id").map_groups(_final_topk(k),
                                               batch_format="pandas")
+
+
+def group_centroids(ds, group_col: str = "label",
+                    vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Per-group embedding centroids → long-format (label, dim, n_vecs,
+    centroid) with ``dim`` 1-based.
+
+    Scale shape: each batch pre-reduces to one (group, dim, partial-sum,
+    count) row set — the exchange is O(groups × dims × blocks), never
+    vector-count-sized. Elements sum as exact int64 micro-units
+    (floor(v·1e6+0.5)) so the centroid is bit-stable under any summation
+    order; the SQL oracle replays the same integers via
+    ``embedding[i]`` + ``generate_series``. The float32→float64 widening
+    of each element is exact, so both engines floor identical doubles."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, vec_col)
+        micro = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        labels = batch[group_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(labels, kind="stable")
+        lab, m = labels[order], micro[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], lab[1:] != lab[:-1])))
+        sums = np.add.reduceat(m, starts, axis=0)
+        ns = np.diff(np.concatenate((starts, [lab.size])))
+        g, d = sums.shape
+        return pa.table({
+            "label": pa.array(np.repeat(lab[starts], d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), g)),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(ns, d).astype(np.int64)),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["sum(s)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["sum(n)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cent = np.floor((s / 1e6 / n) * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "label": batch["label"],
+            "dim": batch["dim"],
+            "n_vecs": batch["sum(n)"].cast(pa.int64()),
+            "centroid": pa.array(cent),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["label", "dim"]).aggregate(Sum("s"), Sum("n"))
+            .map_batches(finish, batch_format="pyarrow"))

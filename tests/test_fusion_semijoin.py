@@ -112,3 +112,27 @@ def test_salted_join_rejects_outer(ray_session):
     from lucene_msmarco_ray.ops.join import bucketed_hash_join
     with pytest.raises(ValueError):
         bucketed_hash_join(None, None, "k", how="outer", hot_keys=[1])
+
+
+def test_group_centroids_goldens(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.ann import group_centroids
+    ds = rd.from_arrow(pa.table({
+        "label": pa.array([0, 0, 1], pa.int32()),
+        "embedding": pa.array([[1.0, -2.0], [2.0, 3.0], [0.5, 0.5]],
+                              pa.list_(pa.float32()))}))
+    out = group_centroids(ds).to_pandas() \
+        .sort_values(["label", "dim"]).reset_index(drop=True)
+    assert out["label"].tolist() == [0, 0, 1, 1]
+    assert out["dim"].tolist() == [1, 2, 1, 2]
+    assert out["n_vecs"].tolist() == [2, 2, 1, 1]
+
+    def cent(vals):
+        s = sum(math.floor(v * 1e6 + 0.5) for v in vals)
+        return math.floor((s / 1e6 / len(vals)) * 1e6 + 0.5) / 1e6
+
+    assert out["centroid"].tolist() == [
+        cent([1.0, 2.0]), cent([-2.0, 3.0]), cent([0.5]), cent([0.5])]
