@@ -1354,6 +1354,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         return repetition_stats(ds)
 
+    def decontaminate_gate(sf_dir: str):
+        """Benchmark decontamination: flag docs sharing any 5-gram with
+        the benchmark subset (doc_id % 100 == 0) — benchmark grams reduce
+        to one broadcast; the corpus pass is shuffle-free. The oracle
+        joins the gram STRINGS."""
+        from lucene_msmarco_ray.ops.dedup import flag_contaminated
+        docs = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
+
+        def every_100th(batch):
+            import numpy as np
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % 100 == 0))
+
+        bench = _read16(sf_dir, "documents.parquet", ["doc_id", "text"]) \
+            .map_batches(every_100th, batch_format="pyarrow")
+        return flag_contaminated(docs, bench, n=5)
+
     def group_centroids_gate(sf_dir: str):
         """Per-label embedding centroids (long format) — batch-local
         partial sums in exact int64 micro-units, one (label, dim)-sized
@@ -1984,6 +2001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": normalize_text_gate,
         "group_centroids": group_centroids_gate,
         "quantile_filter": quantile_filter_gate,
+        "decontaminate": decontaminate_gate,
         "quality_score": quality,
         "lang_id": langid,
         "fingerprint": fp,
@@ -2123,6 +2141,28 @@ SELECT t.doc_id, len(toks)::BIGINT AS n_tokens,
   coalesce(s2.f, 0.0) AS top_bigram_frac,
   coalesce(s3.f, 0.0) AS dup_trigram_frac
 FROM t LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)""",
+
+        "decontaminate": """WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+gl AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5
+              THEN list_transform(generate_series(1, len(toks) - 4),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          || ' ' || toks[i+3] || ' ' || toks[i+4])
+              WHEN len(toks) >= 1 THEN [array_to_string(toks, ' ')]
+              ELSE []::VARCHAR[] END AS grams
+  FROM t),
+g AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM gl),
+bset AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+sh AS (SELECT g.doc_id, count(*)::BIGINT AS n_shared
+       FROM g JOIN bset USING (gram) GROUP BY 1),
+ng AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM g GROUP BY 1)
+SELECT t.doc_id, coalesce(ng.n_grams, 0) AS n_grams,
+       coalesce(sh.n_shared, 0) AS n_shared,
+       (coalesce(sh.n_shared, 0) > 0) AS contaminated
+FROM t LEFT JOIN ng USING (doc_id) LEFT JOIN sh USING (doc_id)""",
 
         "group_centroids": """WITH el AS (
   SELECT label, generate_subscripts(embedding, 1) AS i,

@@ -737,3 +737,70 @@ def duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
                                           batch_format="pandas")
             .groupby("__dpart").map_groups(doc_sums,
                                            batch_format="pandas"))
+
+
+def flag_contaminated(ds, benchmark, n: int = 5, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Benchmark decontamination: flag corpus docs sharing any word
+    ``n``-gram with a (small) benchmark/eval set → (doc_id, n_grams,
+    n_shared, contaminated), where ``n_grams`` counts the doc's DISTINCT
+    grams and ``n_shared`` those also present anywhere in the benchmark.
+
+    Scale shape: the benchmark is the broadcast-small side by contract
+    (eval sets are ≤ millions of grams) — its distinct gram hashes are
+    reduced batch-locally, folded once on the driver, and shipped via ONE
+    ``ray.put``; the corpus pass is stateless (sorted-array searchsorted
+    membership per batch, no shuffle at all). Grams use the dedup family's
+    composed polynomial hashes under TWO bases (62-bit — cross-set
+    collision odds ~|corpus grams|·|bench grams|/2^63), with the same
+    short-doc semantic as :func:`fingerprint`'s gram CTE (docs with
+    0 < tokens < n contribute one whole-doc gram); the SQL oracle joins
+    the gram STRINGS, independently checking the hash semantics."""
+    import ray
+
+    from .textstats import _flat_tokens
+
+    def _doc_grams(batch: pa.Table):
+        flat, counts = _flat_tokens(batch[text_col])
+        toks = flat.to_pylist()
+        h1, tlen = _poly_hashes(toks, HASH_BASE)
+        h2, _ = _poly_hashes(toks, HASH_BASE2)
+        g1, per_doc = _gram_hashes(h1, tlen, counts, n, HASH_BASE)
+        g2, _ = _gram_hashes(h2, tlen, counts, n, HASH_BASE2)
+        return ((g1 << np.uint64(31)) | g2).astype(np.int64), per_doc
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        g, _ = _doc_grams(batch)
+        return pa.table({"g": pa.array(np.unique(g))})
+
+    bg = benchmark.map_batches(bench_grams, batch_format="pyarrow") \
+        .to_pandas()["g"].to_numpy()
+    bref = ray.put(np.unique(bg))      # sorted + deduped across batches
+
+    def scan(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bref)
+        g, per_doc = _doc_grams(batch)
+        n_docs = per_doc.size
+        ngr = np.zeros(n_docs, np.int64)
+        nsh = np.zeros(n_docs, np.int64)
+        nzg = np.flatnonzero(per_doc)
+        if nzg.size:
+            d = np.repeat(np.arange(n_docs), per_doc)
+            order = np.lexsort((g, d))
+            gs, dd = g[order], d[order]
+            new = np.concatenate(
+                ([True], (dd[1:] != dd[:-1]) | (gs[1:] != gs[:-1])))
+            ug, ud = gs[new], dd[new]                # distinct per doc
+            ngr += np.bincount(ud, minlength=n_docs)
+            if bset.size:
+                pos = np.minimum(np.searchsorted(bset, ug), bset.size - 1)
+                hit = bset[pos] == ug
+                nsh += np.bincount(ud[hit], minlength=n_docs)
+        return pa.table({
+            "doc_id": batch[id_col].cast(pa.int64()),
+            "n_grams": pa.array(ngr),
+            "n_shared": pa.array(nsh),
+            "contaminated": pa.array(nsh > 0),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")

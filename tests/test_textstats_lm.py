@@ -90,3 +90,22 @@ def test_cumulative_agg_goldens(ray_session):
     assert out["event_id"].tolist() == [0, 1, 2, 3]
     assert out["cum_events"].tolist() == [1, 2, 3, 1]
     assert out["cum_value"].tolist() == [1.25, 5.75, 7.75, 10.0]
+
+
+def test_flag_contaminated_goldens(ray_session):
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.dedup import flag_contaminated
+    corpus = _docs([
+        "a b c d e f",     # shares the benchmark's "b c d" trigram window
+        "x y z w v",       # clean
+        "q r",             # short doc: whole-doc gram "q r"
+        "",
+    ])
+    bench = _docs(["b c d", "q r"])   # trigram + a short doc
+    out = flag_contaminated(corpus, bench, n=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc0 grams: abc bcd cde def → bcd shared
+    assert out["n_grams"].tolist() == [4, 3, 1, 0]
+    assert out["n_shared"].tolist() == [1, 0, 1, 0]
+    assert out["contaminated"].tolist() == [True, False, True, False]
