@@ -1354,6 +1354,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         return repetition_stats(ds)
 
+    def importance_weights_gate(sf_dir: str):
+        """DSIR-style importance weights: target LM = lang='en' docs,
+        source LM = all docs; exact int64 micro-nat log-ratios summed
+        per doc, one broadcast of the folded ratio table."""
+        from lucene_msmarco_ray.ops.textstats import importance_weights
+        docs = _read16(sf_dir, "documents.parquet",
+                       ["doc_id", "text", "lang"])
+        target = docs.filter(expr="lang == 'en'")
+        return importance_weights(docs, target, concurrency=2)
+
     def decontaminate_gate(sf_dir: str):
         """Benchmark decontamination: flag docs sharing any 5-gram with
         the benchmark subset (doc_id % 100 == 0) — benchmark grams reduce
@@ -2002,6 +2012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_centroids": group_centroids_gate,
         "quantile_filter": quantile_filter_gate,
         "decontaminate": decontaminate_gate,
+        "importance_weights": importance_weights_gate,
         "quality_score": quality,
         "lang_id": langid,
         "fingerprint": fp,
@@ -2141,6 +2152,36 @@ SELECT t.doc_id, len(toks)::BIGINT AS n_tokens,
   coalesce(s2.f, 0.0) AS top_bigram_frac,
   coalesce(s3.f, 0.0) AS dup_trigram_frac
 FROM t LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)""",
+
+        "importance_weights": """WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+scf AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+stot AS (SELECT sum(c)::BIGINT AS total FROM scf),
+sm AS (SELECT term,
+         CAST(floor(ln(c::DOUBLE / total) * 1000000 + 0.5) AS BIGINT) AS m
+       FROM scf, stot),
+ttok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents WHERE lang = 'en'),
+tcf AS (SELECT term, count(*)::BIGINT AS c FROM ttok GROUP BY 1),
+ttot AS (SELECT sum(c)::BIGINT AS total FROM tcf),
+tm AS (SELECT term,
+         CAST(floor(ln(c::DOUBLE / total) * 1000000 + 0.5) AS BIGINT) AS m
+       FROM tcf, ttot),
+toov AS (SELECT CAST(floor(ln(0.5 / total) * 1000000 + 0.5) AS BIGINT) AS o
+         FROM ttot),
+agg AS (SELECT tok.doc_id,
+               sum(coalesce(tm.m, toov.o) - sm.m)::BIGINT AS lw,
+               count(*)::BIGINT AS n
+        FROM tok JOIN sm USING (term) LEFT JOIN tm USING (term), toov
+        GROUP BY 1)
+SELECT t.doc_id, coalesce(agg.n, 0)::BIGINT AS n_tokens,
+       coalesce(agg.lw, 0)::BIGINT AS logw_micro,
+       coalesce(floor((agg.lw / 1000000.0 / agg.n) * 1000000 + 0.5)
+                  / 1000000.0, 0.0) AS avg_logw
+FROM t LEFT JOIN agg USING (doc_id)""",
 
         "decontaminate": """WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -167,6 +167,31 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _unigram_micro(ds, text_col: str):
+    """Train a unigram LM over ``ds`` → (terms, micro-nat log-probs,
+    oov micro-nats). Batch-local token counts (batch-vocabulary-sized
+    partials) → ONE groupby exchange → the reduced (term, cf) table, the
+    only materialized object — bounded by vocabulary, never the token
+    stream. micro = int64(floor(ln(cf/T)·1e6+0.5)); OOV = ln(0.5/T)."""
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(batch[text_col])
+        vc = flat.to_pandas().value_counts()
+        return pa.table({
+            "term": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+            "c": pa.array(vc.to_numpy(np.int64))})
+
+    vocab = (ds.map_batches(count_partial, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("c")).to_pandas())
+    cf = vocab["sum(c)"].to_numpy(np.float64)
+    total = float(cf.sum())
+    micro = np.floor(np.log(cf / total) * 1e6 + 0.5).astype(np.int64)
+    terms = vocab["term"].to_numpy(dtype=object)
+    oov_micro = int(np.floor(np.log(0.5 / total) * 1e6 + 0.5))
+    return terms, micro, oov_micro
+
+
 class _LmScoreStage:
     """Scores batches against a broadcast unigram LM: the hash index over
     the vocabulary builds ONCE per actor (``__init__``), not per batch."""
@@ -222,22 +247,8 @@ def unigram_lm_perplexity(ds, text_col: str = "text", id_col: str = "doc_id",
     tokens cost ``ln(0.5/T)`` micro-nats. ``avg_logprob`` is
     ``sum_micro/1e6/n`` and ``ppl = exp(-avg)``; empty docs score (0, 1)."""
     import ray
-    from ray.data.aggregate import Sum
 
-    def count_partial(batch: pa.Table) -> pa.Table:
-        flat, _ = _flat_tokens(batch[text_col])
-        vc = flat.to_pandas().value_counts()
-        return pa.table({
-            "term": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
-            "c": pa.array(vc.to_numpy(np.int64))})
-
-    vocab = (ds.map_batches(count_partial, batch_format="pyarrow")
-             .groupby("term").aggregate(Sum("c")).to_pandas())
-    cf = vocab["sum(c)"].to_numpy(np.float64)
-    total = float(cf.sum())
-    micro = np.floor(np.log(cf / total) * 1e6 + 0.5).astype(np.int64)
-    terms = vocab["term"].to_numpy(dtype=object)
-    oov_micro = int(np.floor(np.log(0.5 / total) * 1e6 + 0.5))
+    terms, micro, oov_micro = _unigram_micro(ds, text_col)
     bref = ray.put((terms, micro))
 
     target = score_ds if score_ds is not None else ds
@@ -248,6 +259,74 @@ def unigram_lm_perplexity(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return (target.map_batches(project, batch_format="pyarrow")
             .map_batches(_LmScoreStage, fn_constructor_args=(bref, oov_micro),
+                         batch_format="pyarrow", concurrency=concurrency))
+
+
+class _ImportanceStage:
+    """Scores batches against a broadcast (term → micro-nat log-ratio)
+    table; index builds once per actor."""
+
+    def __init__(self, bref, default_micro: int):
+        import pandas as pd
+        import ray
+        terms, diff = ray.get(bref)
+        self.index = pd.Index(terms)
+        self.diff = diff
+        self.default = np.int64(default_micro)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, counts = _flat_tokens(batch["__text"])
+        n_docs = counts.size
+        s = np.zeros(n_docs, np.int64)
+        avg = np.zeros(n_docs, np.float64)
+        nz, offs = _doc_segments(counts)
+        if nz.size:
+            pos = self.index.get_indexer(flat.to_pandas())
+            per_tok = np.where(pos >= 0,
+                               self.diff[np.clip(pos, 0, None)],
+                               self.default)
+            s[nz] = np.add.reduceat(per_tok, offs)
+            a = s[nz] / 1e6 / counts[nz]
+            avg[nz] = np.floor(a * 1e6 + 0.5) / 1e6
+        return pa.table({"doc_id": batch["__id"],
+                         "n_tokens": pa.array(counts),
+                         "logw_micro": pa.array(s),
+                         "avg_logw": pa.array(avg)})
+
+
+def importance_weights(ds, target, text_col: str = "text",
+                       id_col: str = "doc_id", concurrency: int = 4):
+    """DSIR-style importance weights (Xie et al. 2023, unigram variant):
+    per-doc log importance ``Σ_t [ln p_target(t) − ln p_source(t)]`` where
+    the source LM trains on ``ds`` and the target LM on ``target`` (the
+    distribution you want more of) → (doc_id, n_tokens, logw_micro,
+    avg_logw). Docs whose tokens look more target-like than source-like
+    get positive weights — rank by ``logw_micro`` and resample.
+
+    Both LMs train with the one-exchange vocabulary reduce
+    (:func:`_unigram_micro`); the driver folds them into a single
+    (term → micro-nat log-ratio) table broadcast once, so scoring is a
+    stateless actor-pool pass with exact int64 per-doc sums (bit-stable,
+    SQL-replayable). Tokens absent from the target vocab cost its
+    ``ln(0.5/T_target)`` floor; tokens absent from BOTH (scoring a third
+    corpus) cost the floors' difference."""
+    import ray
+
+    t_terms, t_micro, t_oov = _unigram_micro(target, text_col)
+    s_terms, s_micro, s_oov = _unigram_micro(ds, text_col)
+    import pandas as pd
+    pos = pd.Index(t_terms).get_indexer(pd.Index(s_terms))
+    tgt_m = np.where(pos >= 0, t_micro[np.clip(pos, 0, None)],
+                     np.int64(t_oov))
+    bref = ray.put((s_terms, tgt_m - s_micro))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"__id": batch[id_col].cast(pa.int64()),
+                         "__text": batch[text_col]})
+
+    return (ds.map_batches(project, batch_format="pyarrow")
+            .map_batches(_ImportanceStage,
+                         fn_constructor_args=(bref, t_oov - s_oov),
                          batch_format="pyarrow", concurrency=concurrency))
 
 

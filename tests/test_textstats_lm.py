@@ -109,3 +109,25 @@ def test_flag_contaminated_goldens(ray_session):
     assert out["n_grams"].tolist() == [4, 3, 1, 0]
     assert out["n_shared"].tolist() == [1, 0, 1, 0]
     assert out["contaminated"].tolist() == [True, False, True, False]
+
+
+def test_importance_weights_goldens(ray_session):
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.textstats import importance_weights
+    # source corpus: "a a b", "c c"; target: "a b"
+    src = _docs(["a a b", "c c"])
+    tgt = _docs(["a b"])
+    out = importance_weights(src, tgt, concurrency=1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    def m(c, t):
+        return math.floor(math.log(c / t) * 1e6 + 0.5)
+
+    # source: a=2,b=1,c=2, T=5; target: a=1,b=1, T=2; t_oov = ln(.5/2)
+    d_a = m(1, 2) - m(2, 5)
+    d_b = m(1, 2) - m(1, 5)
+    d_c = math.floor(math.log(0.5 / 2) * 1e6 + 0.5) - m(2, 5)
+    assert out["logw_micro"].tolist() == [2 * d_a + d_b, 2 * d_c]
+    # doc 0 is target-like (positive), doc 1 is not (negative)
+    assert out["logw_micro"][0] > 0 > out["logw_micro"][1]
