@@ -91,6 +91,19 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--run", required=True)
     q.add_argument("--k", type=int, default=50)
 
+    c = sub.add_parser("curate", help="quality-filter + exact-dedup a "
+                       "parquet corpus; writes the kept (doc_id, features) "
+                       "table as parquet")
+    c.add_argument("--corpus", required=True,
+                   help="parquet file/dir with (doc_id, text)")
+    c.add_argument("--out", required=True)
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--min-tokens", type=int, default=1)
+    c.add_argument("--langs", default=None,
+                   help="comma-separated predicted langs to keep")
+    c.add_argument("--min-uniq-ratio", type=float, default=None)
+    c.add_argument("--max-stop-ratio", type=float, default=None)
+
     args = p.parse_args(argv)
     os.environ.setdefault("PYTHONPATH",
                           os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -168,6 +181,21 @@ def main(argv: list[str] | None = None) -> int:
         # evalat50.sh greps map|ndcg from trec_eval; report the same family
         print(json.dumps({"map": macro["ap"], "ndcg10": macro["ndcg10"],
                           "macro": macro, "depth": args.depth}))
+        ray.shutdown()
+
+    elif args.cmd == "curate":
+        ray = _init_ray(args.num_cpus)
+        import ray.data as rd
+        from .ops.curate import curate_corpus
+        ds = rd.read_parquet(args.corpus, columns=["doc_id", args.text_col])
+        kept = curate_corpus(
+            ds, text_col=args.text_col, min_tokens=args.min_tokens,
+            langs=args.langs.split(",") if args.langs else None,
+            min_uniq_ratio=args.min_uniq_ratio,
+            max_stop_ratio=args.max_stop_ratio)
+        kept.write_parquet(args.out)
+        n = rd.read_parquet(args.out).count()
+        print(json.dumps({"kept": int(n), "out": args.out}))
         ray.shutdown()
 
     elif args.cmd == "qpp":

@@ -105,3 +105,24 @@ ray.shutdown()
                                      seg["tf_bytes"].to_pylist()))
     assert outs[1] == outs[4]
     assert outs["seg1"] == outs["seg4"]
+
+
+def test_cli_curate(ray_session, tmp_path):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_msmarco_ray.cli import main
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["the cat sat", "the cat sat", "x"])}), src)
+    out = tmp_path / "curated"
+    rc = main(["curate", "--corpus", str(src), "--out", str(out),
+               "--min-tokens", "2"])
+    assert rc == 0
+    kept = pq.read_table(str(out)).to_pandas()
+    # exact dup (doc 1) collapses onto doc 0; doc 2 fails min_tokens
+    assert kept["doc_id"].tolist() == [0]
+    assert kept["dup_count"].tolist() == [2]
