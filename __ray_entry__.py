@@ -1354,6 +1354,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         return repetition_stats(ds)
 
+    def dedup_components_gate(sf_dir: str):
+        """MinHash candidate pairs folded into canonical dedup groups —
+        union-find over the (small-by-construction) pair reduction;
+        oracle = recursive-CTE min-label closure over the SAME pair SQL."""
+        from lucene_msmarco_ray.ops.dedup import (connected_components,
+                                                  minhash_lsh_candidates)
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
+        return connected_components(minhash_lsh_candidates(ds))
+
     def importance_weights_gate(sf_dir: str):
         """DSIR-style importance weights: target LM = lang='en' docs,
         source LM = all docs; exact int64 micro-nat log-ratios summed
@@ -2013,6 +2022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_filter": quantile_filter_gate,
         "decontaminate": decontaminate_gate,
         "importance_weights": importance_weights_gate,
+        "dedup_components": dedup_components_gate,
         "quality_score": quality,
         "lang_id": langid,
         "fingerprint": fp,
@@ -2374,6 +2384,16 @@ FROM w1 JOIN nrm ON nrm.doc_id = w1.doc_id""",
         "sparsevec_topdocs": _sparsevec_sql(0.7, 0.3),
         "bigram_count": _bigram_sql(),
         "minhash_pairs": _minhash_sql(),
+        "dedup_components": f"""WITH RECURSIVE pairs AS ({_minhash_sql()}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT e.b AS node, reach.label FROM reach JOIN e ON reach.node = e.a)
+SELECT node::BIGINT AS doc_id, min(label)::BIGINT AS component
+FROM reach GROUP BY 1""",
         "simhash_pairs": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),

@@ -804,3 +804,54 @@ def flag_contaminated(ds, benchmark, n: int = 5, text_col: str = "text",
         })
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b"):
+    """Union-find over candidate duplicate pairs → (doc_id, component),
+    component = the minimum doc id in the group — the step that turns LSH
+    candidate PAIRS into canonical dedup GROUPS (keeper = the component id,
+    drop the rest).
+
+    Scale rationale: the pair table is already the reduction (LSH
+    candidates ≪ corpus), so driver state is O(nodes appearing in any
+    pair), streamed in via ``iter_batches`` — the same bounded-driver-state
+    class as group_quantile's histogram and sample_n's candidate fold. The
+    per-pair union loop is Python, which is correct HERE because pairs are
+    the small side by construction; a corpus whose pair-node set outgrows
+    one machine needs iterative min-label propagation instead (k
+    groupby-min exchanges, k ≈ component diameter — LSH near-dup graphs
+    are overwhelmingly tiny cliques, making the driver fold the right
+    default)."""
+    import ray.data as rd
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:            # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in pairs.select_columns([a_col, b_col]) \
+            .iter_batches(batch_format="pyarrow", batch_size=65536):
+        aa = batch[a_col].to_numpy(zero_copy_only=False)
+        bb = batch[b_col].to_numpy(zero_copy_only=False)
+        for a, b in zip(aa.tolist(), bb.tolist()):
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root IS the component id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        logger.debug("connected_components: %d nodes folded", len(parent))
+
+    nodes = sorted(parent)
+    comp = [find(n) for n in nodes]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(nodes, pa.int64()),
+        "component": pa.array(comp, pa.int64())}))

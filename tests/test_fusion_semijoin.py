@@ -136,3 +136,17 @@ def test_group_centroids_goldens(ray_session):
 
     assert out["centroid"].tolist() == [
         cent([1.0, 2.0]), cent([-2.0, 3.0]), cent([0.5]), cent([0.5])]
+
+
+def test_connected_components_goldens(ray_session):
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.dedup import connected_components
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([1, 2, 7, 9], pa.int64()),
+        "doc_b": pa.array([2, 3, 8, 1], pa.int64())}))
+    out = connected_components(pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # chains 1-2-3 and 9-1 merge into component 1; 7-8 is component 7
+    assert out["doc_id"].tolist() == [1, 2, 3, 7, 8, 9]
+    assert out["component"].tolist() == [1, 1, 1, 7, 7, 1]
