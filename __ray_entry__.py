@@ -516,6 +516,22 @@ FROM bk a JOIN bk b
   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
 
 
+def _components_sql() -> str:
+    """Recursive-CTE min-label closure over the minhash candidate pairs —
+    the shared oracle for BOTH connected-components engines (driver
+    union-find and distributed label propagation)."""
+    return f"""WITH RECURSIVE pairs AS ({_minhash_sql()}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT e.b AS node, reach.label FROM reach JOIN e ON reach.node = e.a)
+SELECT node::BIGINT AS doc_id, min(label)::BIGINT AS component
+FROM reach GROUP BY 1"""
+
+
 def _simhash_sql(max_hamming: int = 3) -> str:
     """Independent DuckDB recomputation of simhash_pairs: two 31-bit rolling
     hashes per token (bases 131/137) → 62-bit fingerprint → all-pairs Hamming
@@ -1363,6 +1379,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         return connected_components(minhash_lsh_candidates(ds))
 
+    def dedup_components_dist_gate(sf_dir: str):
+        """Distributed min-label propagation (no driver graph state) over
+        the same minhash pairs — must equal the SAME recursive-CTE
+        oracle as the union-find gate."""
+        from lucene_msmarco_ray.ops.dedup import (
+            connected_components_distributed, minhash_lsh_candidates)
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
+        return connected_components_distributed(minhash_lsh_candidates(ds))
+
     def importance_weights_gate(sf_dir: str):
         """DSIR-style importance weights: target LM = lang='en' docs,
         source LM = all docs; exact int64 micro-nat log-ratios summed
@@ -2023,6 +2048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": decontaminate_gate,
         "importance_weights": importance_weights_gate,
         "dedup_components": dedup_components_gate,
+        "dedup_components_dist": dedup_components_dist_gate,
         "quality_score": quality,
         "lang_id": langid,
         "fingerprint": fp,
@@ -2384,16 +2410,8 @@ FROM w1 JOIN nrm ON nrm.doc_id = w1.doc_id""",
         "sparsevec_topdocs": _sparsevec_sql(0.7, 0.3),
         "bigram_count": _bigram_sql(),
         "minhash_pairs": _minhash_sql(),
-        "dedup_components": f"""WITH RECURSIVE pairs AS ({_minhash_sql()}),
-e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION ALL SELECT doc_b, doc_a FROM pairs),
-nodes AS (SELECT DISTINCT a AS node FROM e),
-reach AS (
-  SELECT node, node AS label FROM nodes
-  UNION
-  SELECT e.b AS node, reach.label FROM reach JOIN e ON reach.node = e.a)
-SELECT node::BIGINT AS doc_id, min(label)::BIGINT AS component
-FROM reach GROUP BY 1""",
+        "dedup_components": _components_sql(),
+        "dedup_components_dist": _components_sql(),
         "simhash_pairs": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),

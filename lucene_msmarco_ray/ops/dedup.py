@@ -855,3 +855,78 @@ def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b"):
     return rd.from_arrow(pa.table({
         "doc_id": pa.array(nodes, pa.int64()),
         "component": pa.array(comp, pa.int64())}))
+
+
+def connected_components_distributed(pairs, a_col: str = "doc_a",
+                                     b_col: str = "doc_b",
+                                     max_iters: int = 50):
+    """Distributed connected components by iterative min-label propagation
+    — identical output to :func:`connected_components`, no driver-side
+    graph state: the scale path when the pair-NODE set itself outgrows one
+    machine.
+
+    Each round: every node ships its current label to its neighbors over
+    the (symmetrized) edge list via one bucketed hash join, then a
+    groupby-min folds (own label ∪ neighbor labels). Labels only decrease,
+    so an unchanged label SUM (exact int64) proves a fixpoint; rounds
+    needed = max component diameter (LSH near-dup graphs: tiny cliques →
+    1-2 rounds). Per-round cost is two exchanges over edge-count rows —
+    never the corpus."""
+    import ray.data as rd
+
+    from .join import bucketed_hash_join
+
+    def sym(batch: pa.Table) -> pa.Table:
+        aa = batch[a_col].to_numpy(zero_copy_only=False)
+        bb = batch[b_col].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([aa, bb])),
+                         "nbr": pa.array(np.concatenate([bb, aa]))})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_nodes(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["node"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(u), "label": pa.array(u)})
+
+    from ray.data.aggregate import Min
+    labels = (edges.map_batches(init_nodes, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("label"))
+              .map_batches(lambda b: pa.table(
+                  {"node": b["node"], "label": b["min(label)"]}),
+                  batch_format="pyarrow").materialize())
+    total = labels.sum("label")
+
+    eschema = pa.schema([("node", pa.int64()), ("nbr", pa.int64())])
+    lschema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    for it in range(max_iters):
+        sent = bucketed_hash_join(edges, labels, key="node",
+                                  left_schema=eschema, right_schema=lschema)
+
+        def to_cand(batch: pa.Table) -> pa.Table:
+            # neighbor receives the sender's label as a candidate
+            return pa.table({"node": batch["nbr"],
+                             "label": batch["label"]})
+
+        cand = sent.map_batches(to_cand, batch_format="pyarrow")
+        labels = (cand.union(labels).groupby("node")
+                  .aggregate(Min("label"))
+                  .map_batches(lambda b: pa.table(
+                      {"node": b["node"], "label": b["min(label)"]}),
+                      batch_format="pyarrow").materialize())
+        new_total = labels.sum("label")
+        logger.debug("cc-dist iter %d: label sum %s -> %s", it, total,
+                     new_total)
+        if new_total == total:      # labels only decrease: fixpoint
+            break
+        total = new_total
+    else:
+        raise RuntimeError(
+            f"connected_components_distributed: no fixpoint in "
+            f"{max_iters} iterations — component diameter exceeds the "
+            "bound; raise max_iters")
+
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["node"].cast(pa.int64()),
+                            "component": b["label"].cast(pa.int64())}),
+        batch_format="pyarrow")

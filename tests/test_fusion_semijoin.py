@@ -150,3 +150,23 @@ def test_connected_components_goldens(ray_session):
     # chains 1-2-3 and 9-1 merge into component 1; 7-8 is component 7
     assert out["doc_id"].tolist() == [1, 2, 3, 7, 8, 9]
     assert out["component"].tolist() == [1, 1, 1, 7, 7, 1]
+
+
+def test_distributed_components_match_unionfind(ray_session):
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.dedup import (
+        connected_components, connected_components_distributed)
+    # deterministic pseudo-random graph: chains + cliques + isolated pair;
+    # small (few label-propagation rounds) — the gate covers real scale
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 18, 24).astype(np.int64)
+    b = rng.randint(0, 18, 24).astype(np.int64)
+    keep = a != b
+    pairs = rd.from_arrow(pa.table({"doc_a": pa.array(a[keep]),
+                                    "doc_b": pa.array(b[keep])}))
+    uf = connected_components(pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    lp = connected_components_distributed(pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert uf.equals(lp)
