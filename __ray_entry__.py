@@ -1370,6 +1370,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         return repetition_stats(ds)
 
+    def neardup_filter_gate(sf_dir: str):
+        """End-to-end near-dedup: minhash pairs → components → drop every
+        non-keeper (doc_id != component) from the corpus via the anti
+        semi-join. The full dedup flow a training pipeline actually
+        runs."""
+        from lucene_msmarco_ray.ops.dedup import (connected_components,
+                                                  minhash_lsh_candidates)
+        from lucene_msmarco_ray.ops.join import bucketed_semi_join
+        docs_t = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
+        comp = connected_components(minhash_lsh_candidates(docs_t))
+
+        def nonkeepers(batch):
+            import numpy as np
+            d = batch["doc_id"].to_numpy(zero_copy_only=False)
+            c = batch["component"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(d != c)).select(["doc_id"])
+
+        losers = comp.map_batches(nonkeepers, batch_format="pyarrow")
+        corpus = _read16(sf_dir, "documents.parquet", ["doc_id", "n_chars"])
+        sch = pa.schema([pa.field("doc_id", pa.int64()),
+                         pa.field("n_chars", pa.int64())])
+        return bucketed_semi_join(corpus, losers, key="doc_id",
+                                  how="anti", left_schema=sch)
+
+    def group_zscore_gate(sf_dir: str):
+        """Per-language z-score of document length — exact int64
+        fixed-point moments folded once, broadcast, stateless apply."""
+        from lucene_msmarco_ray.ops.relational import group_zscore
+        ds = _read16(sf_dir, "documents.parquet",
+                     ["doc_id", "lang", "n_chars"])
+        return group_zscore(ds, ["lang"], "n_chars")
+
     def dedup_components_gate(sf_dir: str):
         """MinHash candidate pairs folded into canonical dedup groups —
         union-find over the (small-by-construction) pair reduction;
@@ -2049,6 +2081,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "importance_weights": importance_weights_gate,
         "dedup_components": dedup_components_gate,
         "dedup_components_dist": dedup_components_dist_gate,
+        "group_zscore": group_zscore_gate,
+        "neardup_filter": neardup_filter_gate,
         "quality_score": quality,
         "lang_id": langid,
         "fingerprint": fp,
@@ -2412,6 +2446,37 @@ FROM w1 JOIN nrm ON nrm.doc_id = w1.doc_id""",
         "minhash_pairs": _minhash_sql(),
         "dedup_components": _components_sql(),
         "dedup_components_dist": _components_sql(),
+        "neardup_filter": f"""WITH RECURSIVE pairs AS ({_minhash_sql()}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT e.b AS node, reach.label FROM reach JOIN e ON reach.node = e.a),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY 1)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM comp
+                  WHERE comp.node = d.doc_id
+                    AND comp.node <> comp.component)""",
+        "group_zscore": """WITH c AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(floor(n_chars::DOUBLE * 100 + 0.5) AS BIGINT) AS cents
+  FROM documents),
+m AS (SELECT lang, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
+             sum(cents * cents)::BIGINT AS s2
+      FROM c GROUP BY 1),
+p AS (SELECT lang, s / n / 100.0 AS mean,
+             sqrt(greatest((s2 / n - (s / n) * (s / n)) / 10000.0, 0))
+               AS sd
+      FROM m)
+SELECT c.doc_id, c.lang, c.n_chars,
+  floor(p.mean * 1000000 + 0.5) / 1000000.0 AS group_mean,
+  floor(p.sd * 1000000 + 0.5) / 1000000.0 AS group_std,
+  floor((CASE WHEN p.sd > 0
+              THEN (c.n_chars::DOUBLE - p.mean) / p.sd ELSE 0 END)
+        * 1000000 + 0.5) / 1000000.0 AS zscore
+FROM c JOIN p USING (lang)""",
         "simhash_pairs": _simhash_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),

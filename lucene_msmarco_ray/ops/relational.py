@@ -478,3 +478,63 @@ def rrf_fuse(runs, k_rrf: int = 60, group_col: str = "qid",
         return fused
     return topk_per_group(fused, [group_col], "rrf_micro", topk,
                           descending=True, tie_cols=[item_col])
+
+
+def group_zscore(ds, group_cols, value_col: str, out_col: str = "zscore"):
+    """Per-group z-score feature normalization → input rows +
+    ``(group_mean, group_std, zscore)`` (population std; groups with zero
+    variance emit z = 0).
+
+    Two passes, no row shuffle: pass A pre-aggregates each batch to one
+    (group, n, Σcents, Σcents²) row — exact int64 fixed-point hundredths,
+    so the folded moments are bit-stable under any partitioning and the
+    SQL oracle replays them — then the (tiny) per-group moment table
+    broadcasts once and pass B is a stateless map. mean/std/z round via
+    the explicit floor(x·1e6+0.5)/1e6 convention shared with the LM ops.
+
+    Exactness bound: Σcents² must fit int64, i.e. rows_per_group ×
+    (100·max|value|)² < 2^63 — e.g. 10^9 rows of values up to ~30k. For
+    larger magnitudes pre-scale the column (z-scores are scale-invariant)
+    or extend the moment to a two-limb (hi, lo) int64 pair."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    group_cols = list(group_cols)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        df = batch.select(group_cols + [value_col]).to_pandas()
+        cents = np.floor(df[value_col].to_numpy(np.float64) * 100.0 + 0.5) \
+            .astype(np.int64)
+        df = df.assign(__c=cents, __c2=cents * cents, __n=1)
+        agg = df.groupby(group_cols, sort=False).agg(
+            n=("__n", "sum"), s=("__c", "sum"), s2=("__c2", "sum")) \
+            .reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    mom = (ds.map_batches(moments, batch_format="pyarrow")
+           .groupby(group_cols)
+           .aggregate(Sum("n"), Sum("s"), Sum("s2")).to_pandas())
+    key = mom[group_cols].astype(str).agg("|".join, axis=1)
+    n = mom["sum(n)"].to_numpy(np.float64)
+    s = mom["sum(s)"].to_numpy(np.float64)
+    s2 = mom["sum(s2)"].to_numpy(np.float64)
+    mean = s / n / 100.0
+    var = (s2 / n - (s / n) * (s / n)) / 10000.0
+    std = np.sqrt(np.maximum(var, 0.0))
+    bref = ray.put({k: (m, sd) for k, m, sd in zip(key, mean, std)})
+
+    def apply(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        table = ray.get(bref)
+        df = batch.to_pandas()
+        k = df[group_cols].astype(str).agg("|".join, axis=1)
+        ms = np.array([table[v] for v in k], np.float64)
+        v = df[value_col].to_numpy(np.float64)
+        z = np.where(ms[:, 1] > 0, (v - ms[:, 0]) / np.where(
+            ms[:, 1] > 0, ms[:, 1], 1.0), 0.0)
+        r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6
+        out = batch.append_column("group_mean", pa.array(r6(ms[:, 0])))
+        out = out.append_column("group_std", pa.array(r6(ms[:, 1])))
+        return out.append_column(out_col, pa.array(r6(z)))
+
+    return ds.map_batches(apply, batch_format="pyarrow")
