@@ -516,6 +516,41 @@ FROM bk a JOIN bk b
   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
 
 
+def _importance_sql() -> str:
+    """DSIR importance-weight oracle (target LM = lang='en' docs, source
+    LM = all docs), shared by the weights gate and the Gumbel resample
+    gate."""
+    return """WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+scf AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+stot AS (SELECT sum(c)::BIGINT AS total FROM scf),
+sm AS (SELECT term,
+         CAST(floor(ln(c::DOUBLE / total) * 1000000 + 0.5) AS BIGINT) AS m
+       FROM scf, stot),
+ttok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents WHERE lang = 'en'),
+tcf AS (SELECT term, count(*)::BIGINT AS c FROM ttok GROUP BY 1),
+ttot AS (SELECT sum(c)::BIGINT AS total FROM tcf),
+tm AS (SELECT term,
+         CAST(floor(ln(c::DOUBLE / total) * 1000000 + 0.5) AS BIGINT) AS m
+       FROM tcf, ttot),
+toov AS (SELECT CAST(floor(ln(0.5 / total) * 1000000 + 0.5) AS BIGINT) AS o
+         FROM ttot),
+agg AS (SELECT tok.doc_id,
+               sum(coalesce(tm.m, toov.o) - sm.m)::BIGINT AS lw,
+               count(*)::BIGINT AS n
+        FROM tok JOIN sm USING (term) LEFT JOIN tm USING (term), toov
+        GROUP BY 1)
+SELECT t.doc_id, coalesce(agg.n, 0)::BIGINT AS n_tokens,
+       coalesce(agg.lw, 0)::BIGINT AS logw_micro,
+       coalesce(floor((agg.lw / 1000000.0 / agg.n) * 1000000 + 0.5)
+                  / 1000000.0, 0.0) AS avg_logw
+FROM t LEFT JOIN agg USING (doc_id)"""
+
+
 def _components_sql() -> str:
     """Recursive-CTE min-label closure over the minhash candidate pairs —
     the shared oracle for BOTH connected-components engines (driver
@@ -1402,6 +1437,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      ["doc_id", "lang", "n_chars"])
         return group_zscore(ds, ["lang"], "n_chars")
 
+    def importance_resample_gate(sf_dir: str):
+        """DSIR selection: Gumbel top-100 over the importance weights —
+        deterministic hash-uniform Gumbel keys, per-block top-n
+        candidates into one bounded reduce."""
+        from lucene_msmarco_ray.ops.textstats import (importance_resample,
+                                                      importance_weights)
+        docs = _read16(sf_dir, "documents.parquet",
+                       ["doc_id", "text", "lang"])
+        target = docs.filter(expr="lang == 'en'")
+        w = importance_weights(docs, target, concurrency=2) \
+            .select_columns(["doc_id", "logw_micro"])
+        return importance_resample(w, n=100)
+
     def dedup_components_gate(sf_dir: str):
         """MinHash candidate pairs folded into canonical dedup groups —
         union-find over the (small-by-construction) pair reduction;
@@ -2079,6 +2127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_filter": quantile_filter_gate,
         "decontaminate": decontaminate_gate,
         "importance_weights": importance_weights_gate,
+        "importance_resample": importance_resample_gate,
         "dedup_components": dedup_components_gate,
         "dedup_components_dist": dedup_components_dist_gate,
         "group_zscore": group_zscore_gate,
@@ -2223,35 +2272,16 @@ SELECT t.doc_id, len(toks)::BIGINT AS n_tokens,
   coalesce(s3.f, 0.0) AS dup_trigram_frac
 FROM t LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)""",
 
-        "importance_weights": """WITH t AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-  FROM documents),
-tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
-scf AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY 1),
-stot AS (SELECT sum(c)::BIGINT AS total FROM scf),
-sm AS (SELECT term,
-         CAST(floor(ln(c::DOUBLE / total) * 1000000 + 0.5) AS BIGINT) AS m
-       FROM scf, stot),
-ttok AS (
-  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
-  FROM documents WHERE lang = 'en'),
-tcf AS (SELECT term, count(*)::BIGINT AS c FROM ttok GROUP BY 1),
-ttot AS (SELECT sum(c)::BIGINT AS total FROM tcf),
-tm AS (SELECT term,
-         CAST(floor(ln(c::DOUBLE / total) * 1000000 + 0.5) AS BIGINT) AS m
-       FROM tcf, ttot),
-toov AS (SELECT CAST(floor(ln(0.5 / total) * 1000000 + 0.5) AS BIGINT) AS o
-         FROM ttot),
-agg AS (SELECT tok.doc_id,
-               sum(coalesce(tm.m, toov.o) - sm.m)::BIGINT AS lw,
-               count(*)::BIGINT AS n
-        FROM tok JOIN sm USING (term) LEFT JOIN tm USING (term), toov
-        GROUP BY 1)
-SELECT t.doc_id, coalesce(agg.n, 0)::BIGINT AS n_tokens,
-       coalesce(agg.lw, 0)::BIGINT AS logw_micro,
-       coalesce(floor((agg.lw / 1000000.0 / agg.n) * 1000000 + 0.5)
-                  / 1000000.0, 0.0) AS avg_logw
-FROM t LEFT JOIN agg USING (doc_id)""",
+        "importance_weights": _importance_sql(),
+        "importance_resample": f"""WITH iw AS ({_importance_sql()}),
+key AS (SELECT doc_id, logw_micro,
+  logw_micro / 1000000.0
+    + (-ln(-ln((((CAST(doc_id AS HUGEINT) + 7) % 4294967296 * 2654435761)
+                 % 4294967296 + 0.5) / 4294967296.0))) AS k
+  FROM iw)
+SELECT doc_id, logw_micro,
+       floor(k * 1000000 + 0.5) / 1000000.0 AS gumbel_key
+FROM key ORDER BY k DESC, doc_id LIMIT 100""",
 
         "decontaminate": """WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -481,3 +481,45 @@ def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id"):
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def importance_resample(weights, n: int, logw_col: str = "logw_micro",
+                        id_col: str = "doc_id", salt: int = 7):
+    """Gumbel top-k resampling — the DSIR selection step: draw ``n`` docs
+    WITHOUT replacement with probability ∝ softmax(log-weights) (Gumbel
+    top-k ≡ weighted sampling without replacement), fully deterministic:
+    the per-doc uniform is the multiplicative id hash
+    ``u = (mix32(id)+0.5)/2^32``, the key is ``logw + (-ln(-ln u))``, and
+    the ``n`` largest keys win (ties on id — measure-zero anyway).
+
+    Scale shape: each block contributes at most ``n`` candidates to one
+    bounded reduce — the ``sample_n`` pattern; no shuffle of the input.
+    → (doc_id, logw_micro, gumbel_key), key rounded by the shared
+    floor(x·1e6+0.5)/1e6 convention."""
+    from .relational import _M32, _mix32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        lw = batch[logw_col].to_numpy(zero_copy_only=False)
+        u = (_mix32(ids, salt).astype(np.float64) + 0.5) / _M32
+        key = lw / 1e6 + (-np.log(-np.log(u)))
+        if key.size > n:
+            keep = np.argpartition(-key, n - 1)[:n]
+            ids, lw, key = ids[keep], lw[keep], key[keep]
+        return pa.table({id_col: pa.array(ids.astype(np.int64)),
+                         logw_col: pa.array(lw.astype(np.int64)),
+                         "__k": pa.array(key)})
+
+    def final(batch: pa.Table) -> pa.Table:
+        key = batch["__k"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -key))[:n]
+        t = batch.take(pa.array(order))
+        k6 = np.floor(t["__k"].to_numpy(zero_copy_only=False) * 1e6
+                      + 0.5) / 1e6
+        return pa.table({id_col: t[id_col], logw_col: t[logw_col],
+                         "gumbel_key": pa.array(k6)})
+
+    return (weights.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))

@@ -131,3 +131,25 @@ def test_importance_weights_goldens(ray_session):
     assert out["logw_micro"].tolist() == [2 * d_a + d_b, 2 * d_c]
     # doc 0 is target-like (positive), doc 1 is not (negative)
     assert out["logw_micro"][0] > 0 > out["logw_micro"][1]
+
+
+def test_importance_resample_goldens(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.relational import _M32, _mix32
+    from lucene_msmarco_ray.ops.textstats import importance_resample
+    ids = np.arange(20, dtype=np.int64)
+    # doc 5 has overwhelming weight; everyone else is tiny
+    lw = np.full(20, -50_000_000, np.int64)
+    lw[5] = 50_000_000
+    w = rd.from_arrow(pa.table({"doc_id": pa.array(ids),
+                                "logw_micro": pa.array(lw)}))
+    out = importance_resample(w, n=3).to_pandas()
+    # exact golden: replay the key arithmetic
+    u = (_mix32(ids, 7).astype(np.float64) + 0.5) / _M32
+    key = lw / 1e6 + (-np.log(-np.log(u)))
+    exp = ids[np.lexsort((ids, -key))[:3]]
+    assert out["doc_id"].tolist() == exp.tolist()
+    assert out["doc_id"].tolist()[0] == 5        # the heavy doc always wins
+    assert (np.diff(out["gumbel_key"].to_numpy()) <= 0).all()
