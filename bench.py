@@ -109,7 +109,8 @@ def run_bench() -> dict:
         "group_quantile", "pack_sequences", "duplicate_spans",
         "lm_perplexity", "repetition_stats", "cumulative_agg",
         "semi_join", "rrf_fuse", "normalize_text", "group_centroids",
-        "quantile_filter", "decontaminate", "importance_weights")
+        "quantile_filter", "decontaminate", "importance_weights",
+        "group_zscore", "dedup_components")
     import __ray_entry__ as e
     sys.modules.setdefault("__ray_entry__", e)
     qmap = e.queries()
