@@ -1437,6 +1437,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      ["doc_id", "lang", "n_chars"])
         return group_zscore(ds, ["lang"], "n_chars")
 
+    def scorer_fusion_gate(sf_dir: str):
+        """RRF fusion of the BM25 and LM-Dirichlet runs over the gate
+        index — fusion on REAL retrieval output; both member runs are
+        themselves oracle-checked gates."""
+        from lucene_msmarco_ray.ops.relational import rrf_fuse
+        a = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3) \
+            .select_columns(["qid", "doc_id", "rank"])
+        b = _rounded_run(sf_dir, "lmdir", mu=1000.0) \
+            .select_columns(["qid", "doc_id", "rank"])
+        return rrf_fuse([a, b], k_rrf=60, group_col="qid",
+                        item_col="doc_id", topk=20)
+
     def importance_resample_gate(sf_dir: str):
         """DSIR selection: Gumbel top-100 over the importance weights —
         deterministic hash-uniform Gumbel keys, per-block top-n
@@ -2128,6 +2140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": decontaminate_gate,
         "importance_weights": importance_weights_gate,
         "importance_resample": importance_resample_gate,
+        "scorer_fusion": scorer_fusion_gate,
         "dedup_components": dedup_components_gate,
         "dedup_components_dist": dedup_components_dist_gate,
         "group_zscore": group_zscore_gate,
@@ -2208,6 +2221,18 @@ SELECT doc_id, count(*)::BIGINT AS doc_len FROM toks2 GROUP BY doc_id""",
         "bm25_topk_sharded": _bm25_sql(0.7, 0.3),
         "bm25_topk_ref_params": _bm25_sql(1.2, 0.75),
         "lmdir_topk": _lmdir_sql(1000.0),
+        "scorer_fusion": f"""WITH a AS ({_bm25_sql(0.7, 0.3)}),
+b AS ({_lmdir_sql(1000.0)}),
+u AS (SELECT qid, doc_id, rank FROM a
+      UNION ALL SELECT qid, doc_id, rank FROM b),
+f AS (SELECT qid, doc_id,
+             sum(1000000000000 // (60 + rank))::BIGINT AS rrf_micro,
+             count(*)::BIGINT AS n_runs
+      FROM u GROUP BY 1, 2)
+SELECT qid, doc_id, rrf_micro, n_runs,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY rrf_micro DESC, doc_id)::BIGINT AS rank
+FROM f QUALIFY rank <= 20""",
         "minmax_norm": _minmax_sql(0.7, 0.3),
 
         "dedup_exact": _dedup_exact_sql(),
