@@ -1600,6 +1600,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rrf_fuse([run_a, run_b], k_rrf=60, group_col="lang",
                         item_col="doc_id", topk=20)
 
+    def funnel_gate(sf_dir: str):
+        """Ordered funnel view→click→purchase within 24h — greedy
+        earliest-completion per user, one user-hash exchange plus a k-row
+        partial-count reduce; oracle = chained min() CTEs."""
+        from lucene_msmarco_ray.ops.events import funnel_counts
+        from lucene_msmarco_ray.sources.pq import read_parquet_sized
+        ds = read_parquet_sized(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type"])
+        return funnel_counts(ds, ["view", "click", "purchase"],
+                             within_seconds=86_400)
+
     def cumulative_agg_gate(sf_dir: str):
         """Per-user running (count, value) totals ordered by (ts,
         event_id) — one coarse exchange, segmented fixed-point cumsum;
@@ -2131,6 +2143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": lm_perplexity_gate,
         "repetition_stats": repetition_stats_gate,
         "cumulative_agg": cumulative_agg_gate,
+        "funnel": funnel_gate,
         "semi_join": semi_join_gate,
         "anti_join": anti_join_gate,
         "rrf_fuse": rrf_fuse_gate,
@@ -2384,6 +2397,21 @@ SELECT lang, doc_id, rrf_micro, n_runs,
        row_number() OVER (PARTITION BY lang
                           ORDER BY rrf_micro DESC, doc_id)::BIGINT AS rank
 FROM f QUALIFY rank <= 20""",
+
+        "funnel": """WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+s1 AS (SELECT user_id, min(t) AS t FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click'
+         AND e.t > s1.t AND e.t <= s1.t + 86400000000 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase'
+         AND e.t > s2.t AND e.t <= s2.t + 86400000000 GROUP BY 1)
+SELECT 1::BIGINT AS step, 'view' AS event_type,
+       (SELECT count(*) FROM s1)::BIGINT AS n_users
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""",
 
         "cumulative_agg": """WITH e AS (
   SELECT event_id, user_id, epoch_us(ts) AS ts_us,

@@ -476,3 +476,68 @@ def sliding_window_agg(ds, window_seconds: int = 3600,
             .groupby([key_col, "window_id"])
             .aggregate(Sum("n"), Sum("s"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def funnel_counts(ds, steps, within_seconds: int = 86_400,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  num_parts: int | None = None):
+    """Ordered-funnel analysis → (step, event_type, n_users): how many
+    users complete the first k steps in order, each step within
+    ``within_seconds`` of the previous one (greedy earliest-completion —
+    the standard funnel semantic, and the one a min()-based SQL oracle
+    replays exactly).
+
+    Composition: ONE coarse exchange co-locates each user's events, each
+    partition resolves its users' step times with k vectorized
+    per-step groupby-mins (k = funnel length, tiny), and only the
+    per-partition (step, count) partials cross the second (k-row)
+    exchange."""
+    steps = list(steps)
+    win_us = int(within_seconds) * 1_000_000
+    parts = np.uint64(coarse_parts(num_parts))
+
+    def part_of(batch: pa.Table) -> pa.Table:
+        u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_mix64(u) % parts).astype(np.int64)
+        return pa.table({
+            "__part": pa.array(p),
+            "user_id": batch[user_col].cast(pa.int64()),
+            "ts_us": pa.array(_ts_us(batch[ts_col])),
+            "etype": batch[type_col].cast(pa.string()),
+        })
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # bound: per-user completion time of the previous step (NaN = out)
+        bound = None
+        counts = []
+        for j, s in enumerate(steps):
+            sub = g[g["etype"] == s]
+            if bound is not None:
+                b = sub["user_id"].map(bound)
+                lo = b.to_numpy(np.float64)
+                t = sub["ts_us"].to_numpy(np.float64)
+                sub = sub[(t > lo) & (t <= lo + win_us)]
+            tmin = sub.groupby("user_id")["ts_us"].min()
+            bound = tmin
+            counts.append(len(tmin))
+        return pd.DataFrame({
+            "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+            "event_type": steps,
+            "n": np.asarray(counts, np.int64),
+        })
+
+    resolve.__name__ = "funnel_resolve"
+    from ray.data.aggregate import Sum
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "step": batch["step"],
+            "event_type": batch["event_type"],
+            "n_users": batch["sum(n)"].cast(pa.int64()),
+        })
+
+    return (ds.map_batches(part_of, batch_format="pyarrow")
+            .groupby("__part").map_groups(resolve, batch_format="pandas")
+            .groupby(["step", "event_type"]).aggregate(Sum("n"))
+            .map_batches(finish, batch_format="pyarrow"))

@@ -286,3 +286,24 @@ def test_new_ops_partition_invariance(ray_session):
                     .to_pandas()[cols].sort_values(cols)
                     .reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_funnel_counts_goldens(ray_session):
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.events import funnel_counts
+    rows = [
+        # user 1 completes view→click within window
+        _ev(0, 1, 0, 0, "view"), _ev(1, 1, 100, 0, "click"),
+        # user 2: click BEFORE view → only step 1 counts
+        _ev(2, 2, 50, 0, "click"), _ev(3, 2, 60, 0, "view"),
+        # user 3: click too late (outside 1000s window)
+        _ev(4, 3, 0, 0, "view"), _ev(5, 3, 2000, 0, "click"),
+        # user 4: never views
+        _ev(6, 4, 0, 0, "click"),
+    ]
+    out = funnel_counts(rd.from_items(rows, override_num_blocks=3),
+                        ["view", "click"], within_seconds=1000) \
+        .to_pandas().sort_values("step").reset_index(drop=True)
+    assert out["event_type"].tolist() == ["view", "click"]
+    assert out["n_users"].tolist() == [3, 1]     # views: users 1,2,3
