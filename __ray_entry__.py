@@ -1612,6 +1612,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return funnel_counts(ds, ["view", "click", "purchase"],
                              within_seconds=86_400)
 
+    def cohort_retention_gate(sf_dir: str):
+        """Weekly cohort retention — batch-local (user, period) dedup,
+        one user-hash exchange, (cohort, offset) partial-count reduce;
+        oracle = min-period window + distinct counts."""
+        from lucene_msmarco_ray.ops.events import cohort_retention
+        from lucene_msmarco_ray.sources.pq import read_parquet_sized
+        ds = read_parquet_sized(os.path.join(sf_dir, "events.parquet"),
+                                columns=["user_id", "ts"])
+        return cohort_retention(ds, period_seconds=604_800)
+
     def cumulative_agg_gate(sf_dir: str):
         """Per-user running (count, value) totals ordered by (ts,
         event_id) — one coarse exchange, segmented fixed-point cumsum;
@@ -2144,6 +2154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": repetition_stats_gate,
         "cumulative_agg": cumulative_agg_gate,
         "funnel": funnel_gate,
+        "cohort_retention": cohort_retention_gate,
         "semi_join": semi_join_gate,
         "anti_join": anti_join_gate,
         "rrf_fuse": rrf_fuse_gate,
@@ -2397,6 +2408,16 @@ SELECT lang, doc_id, rrf_micro, n_runs,
        row_number() OVER (PARTITION BY lang
                           ORDER BY rrf_micro DESC, doc_id)::BIGINT AS rank
 FROM f QUALIFY rank <= 20""",
+
+        "cohort_retention": """WITH up AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS period
+  FROM events),
+c AS (SELECT user_id, period,
+             min(period) OVER (PARTITION BY user_id) AS cohort
+      FROM up)
+SELECT cohort::BIGINT AS cohort, (period - cohort)::BIGINT AS offset,
+       count(*)::BIGINT AS n_users
+FROM c GROUP BY 1, 2""",
 
         "funnel": """WITH e AS (
   SELECT user_id, event_type, epoch_us(ts) AS t FROM events),

@@ -541,3 +541,53 @@ def funnel_counts(ds, steps, within_seconds: int = 86_400,
             .groupby("__part").map_groups(resolve, batch_format="pandas")
             .groupby(["step", "event_type"]).aggregate(Sum("n"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def cohort_retention(ds, period_seconds: int = 604_800,
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     num_parts: int | None = None):
+    """Cohort retention → (cohort, offset, n_users): users whose FIRST
+    activity falls in period ``cohort`` and who are also active in period
+    ``cohort + offset`` (offset 0 = the cohort size itself).
+
+    Composition: each batch reduces to its distinct (user, period) pairs
+    (events collapse before anything moves), ONE user-hash exchange
+    co-locates a user's periods, each partition computes cohorts +
+    offsets vectorized, and only (cohort, offset, partial-count) rows
+    cross the final reduce."""
+    per_us = int(period_seconds) * 1_000_000
+    parts = np.uint64(coarse_parts(num_parts))
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        u = batch[user_col].to_numpy(zero_copy_only=False)
+        p = _ts_us(batch[ts_col]) // per_us
+        df = pd.DataFrame({"u": u, "p": p}).drop_duplicates()
+        uu = df["u"].to_numpy(np.int64)
+        part = (_mix64(uu.astype(np.uint64)) % parts).astype(np.int64)
+        return pa.table({"__part": pa.array(part),
+                         "user_id": pa.array(uu),
+                         "period": pa.array(df["p"].to_numpy(np.int64))})
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop_duplicates(["user_id", "period"])
+        cohort = df.groupby("user_id")["period"].transform("min")
+        out = pd.DataFrame({"cohort": cohort.to_numpy(np.int64),
+                            "offset": (df["period"] - cohort)
+                            .to_numpy(np.int64)})
+        agg = out.groupby(["cohort", "offset"], sort=True) \
+            .size().reset_index(name="n")
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg
+
+    offsets.__name__ = "cohort_offsets"
+    from ray.data.aggregate import Sum
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"cohort": batch["cohort"],
+                         "offset": batch["offset"],
+                         "n_users": batch["sum(n)"].cast(pa.int64())})
+
+    return (ds.map_batches(distinct_pairs, batch_format="pyarrow")
+            .groupby("__part").map_groups(offsets, batch_format="pandas")
+            .groupby(["cohort", "offset"]).aggregate(Sum("n"))
+            .map_batches(finish, batch_format="pyarrow"))

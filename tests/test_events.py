@@ -307,3 +307,25 @@ def test_funnel_counts_goldens(ray_session):
         .to_pandas().sort_values("step").reset_index(drop=True)
     assert out["event_type"].tolist() == ["view", "click"]
     assert out["n_users"].tolist() == [3, 1]     # views: users 1,2,3
+
+
+def test_cohort_retention_goldens(ray_session):
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.events import cohort_retention
+    P = 1000   # 1000-second periods
+    rows = [
+        _ev(0, 1, 0, 0),      # user 1: periods 0, 1, 3
+        _ev(1, 1, 1500, 0),
+        _ev(2, 1, 3500, 0),
+        _ev(3, 2, 1200, 0),   # user 2: period 1 only (cohort 1)
+        _ev(4, 3, 100, 0),    # user 3: periods 0, 0 (dup) → offset 0 once
+        _ev(5, 3, 200, 0),
+    ]
+    base_p = _ev(0, 0, 0, 0)["ts"].timestamp() * 1e6 // (P * 1e6)
+    out = cohort_retention(rd.from_items(rows, override_num_blocks=2),
+                           period_seconds=P).to_pandas() \
+        .sort_values(["cohort", "offset"]).reset_index(drop=True)
+    rel = out.assign(cohort=out["cohort"] - int(base_p))
+    got = {(r.cohort, r.offset): r.n_users for r in rel.itertuples()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1}
