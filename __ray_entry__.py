@@ -1539,6 +1539,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return docs.map_batches(keep, batch_format="pyarrow")
 
+    def heavy_hitters_gate(sf_dir: str):
+        """Exact terms above total/k via mergeable Misra-Gries pruning
+        (k=30): the sketch only prunes candidates, the final integer
+        filter is exact — oracle = plain HAVING cf*k > total."""
+        from lucene_msmarco_ray.ops.textstats import heavy_hitters
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
+        return heavy_hitters(ds, k=30)
+
     def normalize_text_gate(sf_dir: str):
         """Curation normalization (lowercase + whitespace collapse + trim)
         — three Arrow RE2 kernels vs the oracle's lower/regexp_replace/
@@ -2159,6 +2167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": anti_join_gate,
         "rrf_fuse": rrf_fuse_gate,
         "normalize_text": normalize_text_gate,
+        "heavy_hitters": heavy_hitters_gate,
         "group_centroids": group_centroids_gate,
         "quantile_filter": quantile_filter_gate,
         "decontaminate": decontaminate_gate,
@@ -2371,6 +2380,14 @@ FROM agg""",
 SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d JOIN q USING (lang)
 WHERE d.n_chars > q.p90""",
+
+        "heavy_hitters": """WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+    AS term
+  FROM documents),
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS total FROM tok)
+SELECT term, cf FROM cf, tot WHERE cf * 30 > total""",
 
         "normalize_text": """SELECT doc_id,
   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text,

@@ -523,3 +523,76 @@ def importance_resample(weights, n: int, logw_col: str = "logw_micro",
     return (weights.map_batches(partial, batch_format="pyarrow")
             .repartition(1)
             .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def heavy_hitters(ds, text_col: str = "text", k: int = 50,
+                  id_col: str = "doc_id"):
+    """EXACT frequent terms — every term with count > total_tokens/k, with
+    its exact count → (term, cf). Two passes built on the mergeable
+    Misra-Gries summary (Agarwal et al. 2013):
+
+    1. each batch compresses its token counts to ≤ k MG counters (exact
+       batch counts minus the (k+1)-th largest — the counted-multiset MG
+       step); the driver folds the block summaries and re-compresses, so
+       driver state is O(k) regardless of vocabulary. MG guarantees the
+       surviving counters are a SUPERSET of all terms above total/k.
+    2. the candidate set (≤ k terms) broadcasts; one pre-aggregated
+       exchange computes their exact corpus counts, and the final filter
+       ``cf · k > total`` is pure integer arithmetic — identical in the
+       SQL oracle, so the output is exact, not approximate; the sketch
+       only prunes.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(batch[text_col])
+        vc = flat.to_pandas().value_counts()
+        if len(vc) > k:
+            d = int(vc.iloc[k])             # (k+1)-th largest count
+            vc = (vc - d).iloc[:k]
+            vc = vc[vc > 0]
+        return pa.table({
+            "term": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+            "c": pa.array(vc.to_numpy(np.int64)),
+        })
+
+    acc: dict[str, int] = {}
+    for b in ds.map_batches(mg_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=65536):
+        for t, c in zip(b["term"].to_pylist(),
+                        b["c"].to_numpy(zero_copy_only=False).tolist()):
+            acc[t] = acc.get(t, 0) + c
+        if len(acc) > k:                    # driver-side MG re-compress
+            d = sorted(acc.values(), reverse=True)[k]
+            acc = {t: c - d for t, c in acc.items() if c - d > 0}
+    candidates = sorted(acc)
+
+    cref = ray.put(pa.array(candidates, pa.string()))
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        # exact candidate counts PLUS the batch token total as a sentinel
+        # row (term = "" — tokens are never empty), so the threshold total
+        # rides the same exchange and no third text scan is needed
+        cand = ray.get(cref)
+        flat, _ = _flat_tokens(batch[text_col])
+        hit = flat.filter(pc.is_in(flat, value_set=cand))
+        vc = hit.to_pandas().value_counts()
+        terms = list(vc.index) + [""]
+        cs = list(vc.to_numpy(np.int64)) + [len(flat)]
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "c": pa.array(np.asarray(cs, np.int64))})
+
+    agg = (ds.map_batches(exact_counts, batch_format="pyarrow")
+           .groupby("term").aggregate(Sum("c")).materialize())
+    total = int(agg.filter(expr="term == ''").to_pandas()["sum(c)"].iloc[0])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_numpy(zero_copy_only=False)
+        cf = batch["sum(c)"].to_numpy(zero_copy_only=False)
+        keep = (cf * k > total) & (terms != "")   # exact integer compare
+        t = batch.filter(pa.array(keep))
+        return pa.table({"term": t["term"],
+                         "cf": t["sum(c)"].cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

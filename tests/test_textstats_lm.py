@@ -153,3 +153,27 @@ def test_importance_resample_goldens(ray_session):
     assert out["doc_id"].tolist() == exp.tolist()
     assert out["doc_id"].tolist()[0] == 5        # the heavy doc always wins
     assert (np.diff(out["gumbel_key"].to_numpy()) <= 0).all()
+
+
+def test_heavy_hitters_exact_under_pruning(ray_session):
+    from collections import Counter
+
+    from lucene_msmarco_ray.ops.textstats import heavy_hitters
+    # 60 distinct rare terms + 3 genuinely heavy ones; k=5 forces real
+    # Misra-Gries pruning in both the batch and the driver fold
+    docs, toks = [], []
+    for i in range(60):
+        docs.append(f"rare{i}")
+        toks.append(f"rare{i}")
+    for t, reps in (("hot", 40), ("warm", 25), ("tepid", 15)):
+        docs.extend([t] * reps)
+        toks.extend([t] * reps)
+    out = heavy_hitters(_docs(docs), k=5).to_pandas() \
+        .sort_values("term").reset_index(drop=True)
+    counts = Counter(toks)
+    total = sum(counts.values())
+    exp = sorted((t, c) for t, c in counts.items() if c * 5 > total)
+    assert list(zip(out["term"], out["cf"])) == exp
+    # only hot clears 140/5 = 28; warm (25) and tepid (15) miss it
+    assert set(out["term"]) == {"hot"}
+    assert out["cf"].tolist() == [40]            # exact count, not MG's
