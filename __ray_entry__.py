@@ -1507,6 +1507,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(every_100th, batch_format="pyarrow")
         return flag_contaminated(docs, bench, n=5)
 
+    def quantize_embeddings_gate(sf_dir: str):
+        """Per-dim affine int8 quantization — bit-exact integer codes
+        (clamp/floor over IEEE double ops on identical inputs), oracle
+        replays the grid from the same min/max."""
+        from lucene_msmarco_ray.ops.ann import quantize_embeddings
+        ds = _read16(sf_dir, "embeddings.parquet", ["vec_id", "embedding"])
+        return quantize_embeddings(ds)
+
     def group_centroids_gate(sf_dir: str):
         """Per-label embedding centroids (long format) — batch-local
         partial sums in exact int64 micro-units, one (label, dim)-sized
@@ -2169,6 +2177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": normalize_text_gate,
         "heavy_hitters": heavy_hitters_gate,
         "group_centroids": group_centroids_gate,
+        "quantize_embeddings": quantize_embeddings_gate,
         "quantile_filter": quantile_filter_gate,
         "decontaminate": decontaminate_gate,
         "importance_weights": importance_weights_gate,
@@ -2373,6 +2382,19 @@ agg AS (SELECT label, i, sum(m)::BIGINT AS s, count(*)::BIGINT AS n
 SELECT label::BIGINT AS label, i::BIGINT AS dim, n AS n_vecs,
        floor((s / 1000000.0 / n) * 1000000 + 0.5) / 1000000.0 AS centroid
 FROM agg""",
+
+        "quantize_embeddings": """WITH el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings),
+mm AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM el GROUP BY 1),
+p AS (SELECT dim, mn,
+             CASE WHEN mx > mn THEN (mx - mn) / 254.0 ELSE 1.0 END AS scale
+      FROM mm)
+SELECT el.vec_id, el.dim::BIGINT AS dim,
+  CAST(least(greatest(floor((el.v - p.mn) / p.scale + 0.5), 0), 254)
+       AS BIGINT) - 127 AS code
+FROM el JOIN p USING (dim)""",
 
         "quantile_filter": """WITH q AS (
   SELECT lang, quantile_disc(n_chars, 0.9) AS p90

@@ -170,3 +170,20 @@ def test_distributed_components_match_unionfind(ray_session):
     lp = connected_components_distributed(pairs).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert uf.equals(lp)
+
+
+def test_quantize_embeddings_goldens(ray_session):
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.ann import quantize_embeddings
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[0.0, 5.0], [1.0, 5.0]],
+                              pa.list_(pa.float32()))}))
+    out = quantize_embeddings(ds).to_pandas() \
+        .sort_values(["vec_id", "dim"]).reset_index(drop=True)
+    # dim 1: range [0,1] → scale 1/254; codes 0-127=-127 and 254-127=127
+    # dim 2: zero range → scale 1 → floor(0+0.5)=0 → -127 for both
+    assert out["code"].tolist() == [-127, -127, 127, -127]
+    # round-trip error bound: |v - (min + (code+127)*scale)| <= scale/2
+    assert out["code"].between(-127, 127).all()
