@@ -1,0 +1,100 @@
+"""Property-based parity tests for the round-3 operators: randomized
+inputs against plain pandas/Counter reference implementations. Hypothesis
+drives the shapes; every example runs the REAL distributed operator."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SET = settings(max_examples=8, deadline=None,
+                suppress_health_check=list(HealthCheck))
+
+
+@st.composite
+def _runs(draw):
+    n_docs = draw(st.integers(2, 12))
+    out = []
+    for _ in range(draw(st.integers(1, 3))):
+        docs = draw(st.permutations(list(range(n_docs))))
+        depth = draw(st.integers(1, n_docs))
+        out.append([(d, r + 1) for r, d in enumerate(docs[:depth])])
+    return out
+
+
+@_SET
+@given(_runs())
+def test_rrf_fuse_matches_reference(ray_session, runs):
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.relational import rrf_fuse
+    dss = [rd.from_arrow(pa.table({
+        "qid": pa.array(["q"] * len(r)),
+        "doc_id": pa.array([d for d, _ in r], pa.int64()),
+        "rank": pa.array([k for _, k in r], pa.int64())}))
+        for r in runs]
+    out = rrf_fuse(dss, k_rrf=60).to_pandas()
+    got = dict(zip(out["doc_id"], out["rrf_micro"]))
+    exp: dict[int, int] = {}
+    for r in runs:
+        for d, k in r:
+            exp[d] = exp.get(d, 0) + 10 ** 12 // (60 + k)
+    assert got == exp
+
+
+@_SET
+@given(st.lists(st.tuples(st.integers(0, 3),
+                          st.integers(-30000, 30000)),
+                min_size=2, max_size=60))
+def test_group_zscore_matches_reference(ray_session, rows):
+    import pandas as pd
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.relational import group_zscore
+    df = pd.DataFrame(rows, columns=["g", "v"])
+    df["rid"] = np.arange(len(df))
+    ds = rd.from_arrow(pa.table({
+        "rid": pa.array(df["rid"].to_numpy(np.int64)),
+        "g": pa.array(df["g"].to_numpy(np.int64)),
+        "v": pa.array(df["v"].to_numpy(np.float64))}))
+    out = group_zscore(ds, ["g"], "v").to_pandas() \
+        .sort_values("rid").reset_index(drop=True)
+    cents = np.floor(df["v"].to_numpy(np.float64) * 100.0 + 0.5) \
+        .astype(np.int64)
+    for gid, grp in df.assign(c=cents).groupby("g"):
+        n = float(len(grp))
+        s = float(grp["c"].sum())
+        s2 = float((grp["c"] * grp["c"]).sum())
+        mean = s / n / 100.0
+        std = np.sqrt(max((s2 / n - (s / n) * (s / n)) / 10000.0, 0.0))
+        sel = out[out["g"] == gid]
+        r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6
+        assert (sel["group_mean"] == r6(mean)).all()
+        assert (sel["group_std"] == r6(std)).all()
+        v = sel["v"].to_numpy(np.float64)
+        z = (v - mean) / std if std > 0 else np.zeros(len(sel))
+        assert np.array_equal(sel["zscore"].to_numpy(), r6(z))
+
+
+@_SET
+@given(st.lists(st.sampled_from(["a", "b", "c", "dd", "ee", "f", "g", "hh"]),
+                min_size=1, max_size=200),
+       st.integers(2, 6))
+def test_heavy_hitters_matches_counter(ray_session, toks, k):
+    from collections import Counter
+
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.textstats import heavy_hitters
+    # spread tokens over several docs/blocks to exercise the MG merge
+    docs = [" ".join(toks[i::5]) for i in range(5)]
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(docs)],
+                       override_num_blocks=3)
+    out = heavy_hitters(ds, k=k).to_pandas()
+    counts = Counter(toks)
+    total = sum(counts.values())
+    exp = {t: c for t, c in counts.items() if c * k > total}
+    got = {} if out.empty else dict(zip(out["term"], out["cf"]))
+    assert got == exp
