@@ -1547,6 +1547,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return docs.map_batches(keep, batch_format="pyarrow")
 
+    def bigram_lm_gate(sf_dir: str):
+        """Interpolated bigram-LM self-perplexity (λ=0.9) — exact int64
+        micro-nat pair scores, one broadcast of the bigram-vocab ratio
+        table."""
+        from lucene_msmarco_ray.ops.textstats import bigram_lm_perplexity
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
+        return bigram_lm_perplexity(ds, lam=0.9, concurrency=2)
+
     def heavy_hitters_gate(sf_dir: str):
         """Exact terms above total/k via mergeable Misra-Gries pruning
         (k=30): the sketch only prunes candidates, the final integer
@@ -2176,6 +2184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fuse": rrf_fuse_gate,
         "normalize_text": normalize_text_gate,
         "heavy_hitters": heavy_hitters_gate,
+        "bigram_lm": bigram_lm_gate,
         "group_centroids": group_centroids_gate,
         "quantize_embeddings": quantize_embeddings_gate,
         "quantile_filter": quantile_filter_gate,
@@ -2402,6 +2411,33 @@ FROM el JOIN p USING (dim)""",
 SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d JOIN q USING (lang)
 WHERE d.n_chars > q.p90""",
+
+        "bigram_lm": """WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+pr AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+  FROM t WHERE len(toks) >= 2),
+pairs AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM pr),
+bc AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY 1, 2),
+tok AS (SELECT unnest(toks) AS term FROM t),
+uc AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS total FROM uc),
+m AS (SELECT bc.w1, bc.w2,
+        CAST(floor(ln(0.9 * bc.c12 / u1.c
+                      + (1.0 - 0.9) * u2.c / tot.total)
+                   * 1000000 + 0.5) AS BIGINT) AS micro
+      FROM bc JOIN uc u1 ON u1.term = bc.w1
+              JOIN uc u2 ON u2.term = bc.w2, tot),
+agg AS (SELECT p.doc_id, sum(m.micro)::BIGINT AS s, count(*)::BIGINT AS n
+        FROM pairs p JOIN m ON m.w1 = p.w1 AND m.w2 = p.w2 GROUP BY 1)
+SELECT t.doc_id,
+       coalesce(agg.n, 0)::BIGINT AS n_pairs,
+       coalesce(floor((agg.s / 1000000.0 / agg.n) * 1000000 + 0.5)
+                  / 1000000.0, 0.0) AS avg_logprob,
+       coalesce(floor(exp(-(agg.s / 1000000.0 / agg.n)) * 1000000 + 0.5)
+                  / 1000000.0, 1.0) AS ppl
+FROM t LEFT JOIN agg USING (doc_id)""",
 
         "heavy_hitters": """WITH tok AS (
   SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))

@@ -596,3 +596,121 @@ def heavy_hitters(ds, text_col: str = "text", k: int = 50,
                          "cf": t["sum(c)"].cast(pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_SEP = "\x1f"    # unit separator — never appears in whitespace tokens
+
+
+def bigram_lm_perplexity(ds, text_col: str = "text",
+                         id_col: str = "doc_id", lam: float = 0.9,
+                         concurrency: int = 4):
+    """Per-document interpolated bigram-LM perplexity →
+    (doc_id, n_pairs, avg_logprob, ppl): ``p(w2|w1) = λ·c(w1w2)/c(w1)
+    + (1−λ)·c(w2)/T`` over adjacent within-document pairs — the next
+    step up from :func:`unigram_lm_perplexity` toward the KenLM-style
+    quality filters.
+
+    Shapes: bigram and unigram counts each reduce through ONE
+    pre-aggregated exchange (partials are batch-vocabulary-sized); the
+    driver folds them into a single (pair → micro-nat) table broadcast
+    once — bounded by the DISTINCT-bigram vocabulary (the same bound the
+    PMI op already carries; truncate upstream for corpora whose bigram
+    vocab outgrows a broadcast). Per-pair log-probs are int64 micro-nats
+    → exact per-doc sums, SQL-replayed; docs with < 2 tokens score
+    (0 pairs, 0, 1)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        flat, counts = _flat_tokens(batch[text_col])
+        toks = flat.to_pandas()
+        n = len(toks)
+        if n < 2:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        ends = np.cumsum(counts)
+        mask = np.ones(n - 1, bool)
+        inner = ends[(ends > 0) & (ends < n)]
+        mask[inner - 1] = False          # pairs crossing doc boundaries
+        pairs = (toks.iloc[:-1].reset_index(drop=True) + _SEP
+                 + toks.iloc[1:].reset_index(drop=True))[mask]
+        vc = pairs.value_counts()
+        return pa.table({
+            "pair": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+            "c": pa.array(vc.to_numpy(np.int64))})
+
+    bi = (ds.map_batches(pair_partials, batch_format="pyarrow")
+          .groupby("pair").aggregate(Sum("c")).to_pandas())
+
+    # unigram counts (not micro-probs) — the same one-exchange reduce
+    def count_partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(batch[text_col])
+        vc = flat.to_pandas().value_counts()
+        return pa.table({
+            "term": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+            "c": pa.array(vc.to_numpy(np.int64))})
+
+    uni = (ds.map_batches(count_partial, batch_format="pyarrow")
+           .groupby("term").aggregate(Sum("c")).to_pandas())
+    total = float(uni["sum(c)"].sum())
+    cmap = pd.Series(uni["sum(c)"].to_numpy(np.float64),
+                     index=uni["term"])
+    w1 = bi["pair"].str.split(_SEP).str[0]
+    w2 = bi["pair"].str.split(_SEP).str[1]
+    c12 = bi["sum(c)"].to_numpy(np.float64)
+    c1 = cmap.reindex(w1).to_numpy(np.float64)
+    c2 = cmap.reindex(w2).to_numpy(np.float64)
+    p = lam * c12 / c1 + (1.0 - lam) * c2 / total
+    micro = np.floor(np.log(p) * 1e6 + 0.5).astype(np.int64)
+    # unseen pair (scoring a different corpus): back off to the unigram
+    # interpolation floor using c12=0 — per-w2 value; approximate with the
+    # corpus-level floor ln((1-λ)·0.5/T) (never triggers on self-scoring)
+    oov = int(np.floor(np.log((1.0 - lam) * 0.5 / total) * 1e6 + 0.5))
+    bref = ray.put((bi["pair"].to_numpy(dtype=object), micro))
+
+    class _BiScore:
+        def __init__(self):
+            terms, m = ray.get(bref)
+            self.index = pd.Index(terms)
+            self.micro = m
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            flat, counts = _flat_tokens(batch["__text"])
+            n_docs = counts.size
+            s = np.zeros(n_docs, np.int64)
+            npairs = np.maximum(counts - 1, 0)
+            avg = np.zeros(n_docs, np.float64)
+            ppl = np.ones(n_docs, np.float64)
+            toks = flat.to_pandas()
+            n = len(toks)
+            if n >= 2:
+                ends = np.cumsum(counts)
+                mask = np.ones(n - 1, bool)
+                inner = ends[(ends > 0) & (ends < n)]
+                mask[inner - 1] = False
+                pairs = (toks.iloc[:-1].reset_index(drop=True) + _SEP
+                         + toks.iloc[1:].reset_index(drop=True))[mask]
+                pos = self.index.get_indexer(pd.Index(pairs))
+                per = np.where(pos >= 0,
+                               self.micro[np.clip(pos, 0, None)],
+                               np.int64(oov))
+                doc_of_pair = np.repeat(np.arange(n_docs), npairs)
+                s = np.bincount(doc_of_pair, weights=per,
+                                minlength=n_docs).astype(np.int64)
+                nz = np.flatnonzero(npairs)
+                a = s[nz] / 1e6 / npairs[nz]
+                avg[nz] = np.floor(a * 1e6 + 0.5) / 1e6
+                ppl[nz] = np.floor(np.exp(-a) * 1e6 + 0.5) / 1e6
+            return pa.table({"doc_id": batch["__id"],
+                             "n_pairs": pa.array(npairs),
+                             "avg_logprob": pa.array(avg),
+                             "ppl": pa.array(ppl)})
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"__id": batch[id_col].cast(pa.int64()),
+                         "__text": batch[text_col]})
+
+    return (ds.map_batches(project, batch_format="pyarrow")
+            .map_batches(_BiScore, batch_format="pyarrow",
+                         concurrency=concurrency))

@@ -177,3 +177,29 @@ def test_heavy_hitters_exact_under_pruning(ray_session):
     # only hot clears 140/5 = 28; warm (25) and tepid (15) miss it
     assert set(out["term"]) == {"hot"}
     assert out["cf"].tolist() == [40]            # exact count, not MG's
+
+
+def test_bigram_lm_perplexity_goldens(ray_session):
+    from lucene_msmarco_ray.ops.textstats import bigram_lm_perplexity
+    # corpus: "a b a b", "b c", "solo" → unigrams a=2 b=3 c=1 solo=1, T=7
+    # bigrams: ab=2, ba=1, bc=1 (no cross-doc pair; "solo" has none)
+    ds = _docs(["a b a b", "b c", "solo", ""])
+    out = bigram_lm_perplexity(ds, lam=0.9, concurrency=1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    def micro(c12, c1, c2):
+        p = 0.9 * c12 / c1 + (1.0 - 0.9) * c2 / 7.0
+        return math.floor(math.log(p) * 1e6 + 0.5)
+
+    m_ab = micro(2, 2, 3)
+    m_ba = micro(1, 3, 2)
+    m_bc = micro(1, 3, 1)
+
+    def fin(s, n):
+        a = s / 1e6 / n
+        return math.floor(a * 1e6 + 0.5) / 1e6
+
+    assert out["n_pairs"].tolist() == [3, 1, 0, 0]
+    assert out["avg_logprob"].tolist() == [
+        fin(2 * m_ab + m_ba, 3), fin(m_bc, 1), 0.0, 0.0]
+    assert out["ppl"].tolist()[2:] == [1.0, 1.0]
