@@ -110,7 +110,8 @@ def run_bench() -> dict:
         "lm_perplexity", "repetition_stats", "cumulative_agg",
         "semi_join", "rrf_fuse", "normalize_text", "group_centroids",
         "quantile_filter", "decontaminate", "importance_weights",
-        "group_zscore", "dedup_components")
+        "group_zscore", "dedup_components", "funnel", "cohort_retention",
+        "heavy_hitters", "quantize_embeddings", "bigram_lm")
     import __ray_entry__ as e
     sys.modules.setdefault("__ray_entry__", e)
     qmap = e.queries()
