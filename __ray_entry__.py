@@ -1547,6 +1547,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return docs.map_batches(keep, batch_format="pyarrow")
 
+    def chunk_boundaries_gate(sf_dir: str):
+        """Fixed-size within-doc chunking — boundary rows only (zero-copy
+        stage); oracle unnests a per-doc chunk-ordinal series."""
+        from lucene_msmarco_ray.ops.textstats import chunk_boundaries
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
+        return chunk_boundaries(ds, chunk_tokens=64)
+
     def bigram_lm_gate(sf_dir: str):
         """Interpolated bigram-LM self-perplexity (λ=0.9) — exact int64
         micro-nat pair scores, one broadcast of the bigram-vocab ratio
@@ -2185,6 +2192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": normalize_text_gate,
         "heavy_hitters": heavy_hitters_gate,
         "bigram_lm": bigram_lm_gate,
+        "chunk_boundaries": chunk_boundaries_gate,
         "group_centroids": group_centroids_gate,
         "quantize_embeddings": quantize_embeddings_gate,
         "quantile_filter": quantile_filter_gate,
@@ -2411,6 +2419,20 @@ FROM el JOIN p USING (dim)""",
 SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d JOIN q USING (lang)
 WHERE d.n_chars > q.p90""",
+
+        "chunk_boundaries": """WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n
+  FROM documents),
+pr AS (
+  SELECT doc_id, n,
+         unnest(generate_series(0, CAST(floor((n - 1) / 64.0) AS BIGINT)))
+           AS i
+  FROM t WHERE n > 0)
+SELECT doc_id, i AS chunk_id, (i * 64 + 1)::BIGINT AS tok_start,
+       least(n - i * 64, 64)::BIGINT AS n_tokens
+FROM pr""",
 
         "bigram_lm": """WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

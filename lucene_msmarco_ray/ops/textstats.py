@@ -714,3 +714,35 @@ def bigram_lm_perplexity(ds, text_col: str = "text",
     return (ds.map_batches(project, batch_format="pyarrow")
             .map_batches(_BiScore, batch_format="pyarrow",
                          concurrency=concurrency))
+
+
+def chunk_boundaries(ds, chunk_tokens: int = 64, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Within-document fixed-size chunking → one row per chunk:
+    (doc_id, chunk_id, tok_start, n_tokens) with 1-based token offsets —
+    the context-window splitting step that complements
+    :func:`~lucene_msmarco_ray.ops.relational.pack_sequences` (which bins
+    whole documents). Emitting BOUNDARIES rather than text keeps the
+    stage zero-copy; materializing chunk text is a trivial downstream map
+    over (tok_start, n_tokens). Stateless, no shuffle; empty docs emit
+    no chunks."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        _, counts = _flat_tokens(batch[text_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nchunks = -(-counts // chunk_tokens)        # ceil; 0 for empty
+        doc_rep = np.repeat(ids, nchunks)
+        cnt_rep = np.repeat(counts, nchunks)
+        # chunk ordinal within each doc: global arange minus segment start
+        starts = np.concatenate(([0], np.cumsum(nchunks)[:-1]))
+        cid = (np.arange(int(nchunks.sum()), dtype=np.int64)
+               - np.repeat(starts, nchunks))
+        tok_start = cid * chunk_tokens + 1
+        ntok = np.minimum(cnt_rep - cid * chunk_tokens, chunk_tokens)
+        return pa.table({
+            "doc_id": pa.array(doc_rep),
+            "chunk_id": pa.array(cid),
+            "tok_start": pa.array(tok_start),
+            "n_tokens": pa.array(ntok.astype(np.int64))})
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -203,3 +203,14 @@ def test_bigram_lm_perplexity_goldens(ray_session):
     assert out["avg_logprob"].tolist() == [
         fin(2 * m_ab + m_ba, 3), fin(m_bc, 1), 0.0, 0.0]
     assert out["ppl"].tolist()[2:] == [1.0, 1.0]
+
+
+def test_chunk_boundaries_goldens(ray_session):
+    from lucene_msmarco_ray.ops.textstats import chunk_boundaries
+    ds = _docs(["a b c d e", "x y", ""])
+    out = chunk_boundaries(ds, chunk_tokens=2).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 0, 0, 1]
+    assert out["chunk_id"].tolist() == [0, 1, 2, 0]
+    assert out["tok_start"].tolist() == [1, 3, 5, 1]
+    assert out["n_tokens"].tolist() == [2, 2, 1, 2]
