@@ -98,3 +98,52 @@ def test_heavy_hitters_matches_counter(ray_session, toks, k):
     exp = {t: c for t, c in counts.items() if c * k > total}
     got = {} if out.empty else dict(zip(out["term"], out["cf"]))
     assert got == exp
+
+
+def test_new_ops_parallelism_invariant(ray_session):
+    """The round-3 operators must emit identical results at any input
+    partitioning — the property the driver's correctness gate relies on
+    when it runs at a different CPU count."""
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.events import cohort_retention, funnel_counts
+    from lucene_msmarco_ray.ops.relational import group_zscore
+    from lucene_msmarco_ray.ops.textstats import (bigram_lm_perplexity,
+                                                  heavy_hitters)
+    import datetime as dt
+    rng = np.random.RandomState(3)
+    texts = [" ".join(rng.choice(list("abcdefgh"), rng.randint(0, 12)))
+             for _ in range(40)]
+    base = dt.datetime(2024, 1, 1)
+    events = [{"event_id": i, "user_id": int(rng.randint(0, 6)),
+               "ts": base + dt.timedelta(seconds=int(rng.randint(0, 5000))),
+               "event_type": str(rng.choice(["view", "click"])),
+               "value": float(rng.randint(0, 100)) / 4}
+              for i in range(120)]
+
+    def docs(nb):
+        return rd.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)],
+            override_num_blocks=nb)
+
+    def evs(nb):
+        return rd.from_items(events, override_num_blocks=nb)
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for op, mk in [
+        (lambda d: heavy_hitters(d, k=4), docs),
+        (lambda d: bigram_lm_perplexity(d, concurrency=1), docs),
+        (lambda d: funnel_counts(d, ["view", "click"], 1000), evs),
+        (lambda d: cohort_retention(d, period_seconds=1000), evs),
+        (lambda d: group_zscore(
+            rd.from_items([{"g": e["user_id"], "rid": e["event_id"],
+                            "v": e["value"]} for e in events],
+                          override_num_blocks=d), ["g"], "v"),
+         lambda nb: nb),
+    ]:
+        a = canon(op(mk(1)).to_pandas())
+        b = canon(op(mk(7)).to_pandas())
+        assert a.equals(b), op
