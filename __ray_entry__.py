@@ -1547,6 +1547,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return docs.map_batches(keep, batch_format="pyarrow")
 
+    def group_mad_gate(sf_dir: str):
+        """Per-language median absolute deviation — two group_quantile
+        passes (median → broadcast → |x−med| → median) with
+        quantile_disc semantics; robust spread for outlier filters."""
+        import ray
+
+        from lucene_msmarco_ray.ops.relational import group_quantile
+        docs = _read16(sf_dir, "documents.parquet", ["lang", "n_chars"])
+        med = group_quantile(docs, ["lang"], "n_chars", [0.5], ["med"]) \
+            .to_pandas()
+        mref = ray.put(dict(zip(med["lang"], med["med"])))
+
+        def absdev(batch):
+            import numpy as np
+            mm = ray.get(mref)
+            lang = batch["lang"].to_pylist()
+            m = np.array([mm[v] for v in lang], np.float64)
+            v = batch["n_chars"].to_numpy(zero_copy_only=False)
+            return pa.table({"lang": batch["lang"],
+                             "ad": pa.array(np.abs(v - m))})
+
+        mad = group_quantile(
+            docs.map_batches(absdev, batch_format="pyarrow"),
+            ["lang"], "ad", [0.5], ["mad"]).to_pandas()
+        out = med.merge(mad, on="lang").sort_values("lang") \
+            .reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def chunk_boundaries_gate(sf_dir: str):
         """Fixed-size within-doc chunking — boundary rows only (zero-copy
         stage); oracle unnests a per-doc chunk-ordinal series."""
@@ -2193,6 +2221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": heavy_hitters_gate,
         "bigram_lm": bigram_lm_gate,
         "chunk_boundaries": chunk_boundaries_gate,
+        "group_mad": group_mad_gate,
         "group_centroids": group_centroids_gate,
         "quantize_embeddings": quantize_embeddings_gate,
         "quantile_filter": quantile_filter_gate,
@@ -2419,6 +2448,14 @@ FROM el JOIN p USING (dim)""",
 SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d JOIN q USING (lang)
 WHERE d.n_chars > q.p90""",
+
+        "group_mad": """WITH m AS (
+  SELECT lang, quantile_disc(n_chars, 0.5)::DOUBLE AS med
+  FROM documents GROUP BY 1),
+d AS (SELECT doc.lang, abs(doc.n_chars::DOUBLE - m.med) AS ad
+      FROM documents doc JOIN m USING (lang))
+SELECT m.lang, m.med, quantile_disc(d.ad, 0.5) AS mad
+FROM d JOIN m USING (lang) GROUP BY 1, 2""",
 
         "chunk_boundaries": """WITH t AS (
   SELECT doc_id,
