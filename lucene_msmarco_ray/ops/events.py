@@ -514,10 +514,14 @@ def funnel_counts(ds, steps, within_seconds: int = 86_400,
         for j, s in enumerate(steps):
             sub = g[g["etype"] == s]
             if bound is not None:
+                # int64-exact window compare — a float64 cast of µs
+                # timestamps is only exact below 2^53; users missing from
+                # `bound` are masked explicitly instead of via NaN
                 b = sub["user_id"].map(bound)
-                lo = b.to_numpy(np.float64)
-                t = sub["ts_us"].to_numpy(np.float64)
-                sub = sub[(t > lo) & (t <= lo + win_us)]
+                present = b.notna().to_numpy()
+                lo = b.fillna(0).to_numpy(np.int64)
+                t = sub["ts_us"].to_numpy(np.int64)
+                sub = sub[present & (t > lo) & (t <= lo + win_us)]
             tmin = sub.groupby("user_id")["ts_us"].min()
             bound = tmin
             counts.append(len(tmin))

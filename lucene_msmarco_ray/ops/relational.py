@@ -514,7 +514,9 @@ def group_zscore(ds, group_cols, value_col: str, out_col: str = "zscore"):
     mom = (ds.map_batches(moments, batch_format="pyarrow")
            .groupby(group_cols)
            .aggregate(Sum("n"), Sum("s"), Sum("s2")).to_pandas())
-    key = mom[group_cols].astype(str).agg("|".join, axis=1)
+    # key on the raw value TUPLE — a '|'-joined string collides when group
+    # values themselves contain '|' (('a|b','c') vs ('a','b|c'))
+    key = list(mom[group_cols].itertuples(index=False, name=None))
     n = mom["sum(n)"].to_numpy(np.float64)
     s = mom["sum(s)"].to_numpy(np.float64)
     s2 = mom["sum(s2)"].to_numpy(np.float64)
@@ -527,7 +529,7 @@ def group_zscore(ds, group_cols, value_col: str, out_col: str = "zscore"):
         import pandas as pd
         table = ray.get(bref)
         df = batch.to_pandas()
-        k = df[group_cols].astype(str).agg("|".join, axis=1)
+        k = df[group_cols].itertuples(index=False, name=None)
         ms = np.array([table[v] for v in k], np.float64)
         v = df[value_col].to_numpy(np.float64)
         z = np.where(ms[:, 1] > 0, (v - ms[:, 0]) / np.where(

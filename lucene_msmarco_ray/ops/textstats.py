@@ -380,7 +380,10 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
             # docs with < k tokens got a whole-doc gram from _gram_hashes —
             # repetition over a single gram is meaningless; define as 0
             frac[counts < k] = 0.0
-            out[stat] = np.round(frac, 6)
+            # floor(x*1e6+0.5) — the repo's half-away-from-zero convention
+            # (fracs are nonnegative); np.round is half-to-even and diverges
+            # from the DuckDB oracle on exact .5 ties (e.g. 1/128 at 6dp).
+            out[stat] = np.floor(frac * 1e6 + 0.5) / 1e6
         return pa.table({"doc_id": batch[id_col].cast(pa.int64()),
                          "n_tokens": pa.array(counts),
                          "top_bigram_frac": pa.array(out["top"]),
@@ -695,10 +698,10 @@ def bigram_lm_perplexity(ds, text_col: str = "text",
                 per = np.where(pos >= 0,
                                self.micro[np.clip(pos, 0, None)],
                                np.int64(oov))
-                doc_of_pair = np.repeat(np.arange(n_docs), npairs)
-                s = np.bincount(doc_of_pair, weights=per,
-                                minlength=n_docs).astype(np.int64)
-                nz = np.flatnonzero(npairs)
+                # int64 segment sums (reduceat) — bincount's float64 weight
+                # accumulation loses exactness past 2^53 micro-nats/doc
+                nz, offs = _doc_segments(npairs)
+                s[nz] = np.add.reduceat(per.astype(np.int64), offs)
                 a = s[nz] / 1e6 / npairs[nz]
                 avg[nz] = np.floor(a * 1e6 + 0.5) / 1e6
                 ppl[nz] = np.floor(np.exp(-a) * 1e6 + 0.5) / 1e6

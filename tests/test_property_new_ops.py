@@ -77,6 +77,27 @@ def test_group_zscore_matches_reference(ray_session, rows):
         assert np.array_equal(sel["zscore"].to_numpy(), r6(z))
 
 
+def test_group_zscore_multicol_pipe_values(ray_session):
+    """Multi-column groups whose STRING values contain '|' must not
+    collide: ('a|b','c') and ('a','b|c') are distinct groups. A
+    '|'-joined broadcast key would map both to 'a|b|c'."""
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.relational import group_zscore
+    rows = [
+        {"rid": 0, "g1": "a|b", "g2": "c", "v": 10.0},
+        {"rid": 1, "g1": "a|b", "g2": "c", "v": 20.0},
+        {"rid": 2, "g1": "a", "g2": "b|c", "v": 100.0},
+        {"rid": 3, "g1": "a", "g2": "b|c", "v": 300.0},
+    ]
+    out = group_zscore(rd.from_items(rows, override_num_blocks=2),
+                       ["g1", "g2"], "v").to_pandas() \
+        .sort_values("rid").reset_index(drop=True)
+    assert out["group_mean"].tolist() == [15.0, 15.0, 200.0, 200.0]
+    assert out["group_std"].tolist() == [5.0, 5.0, 100.0, 100.0]
+    assert out["zscore"].tolist() == [-1.0, 1.0, -1.0, 1.0]
+
+
 @_SET
 @given(st.lists(st.sampled_from(["a", "b", "c", "dd", "ee", "f", "g", "hh"]),
                 min_size=1, max_size=200),

@@ -71,6 +71,18 @@ def test_repetition_stats_goldens(ray_session):
         round(np.floor(2 / 3 * 1e6 + 0.5) / 1e6, 6), 0.0, 1.0, 0.0, 0.0, 0.0]
 
 
+def test_repetition_stats_half_tie_rounds_away(ray_session):
+    """129 all-distinct tokens → 128 bigrams, top fraction 1/128 =
+    0.0078125 — an exact .5 tie at 6dp. DuckDB round() (the oracle) is
+    half-away-from-zero: 0.007813. np.round (half-to-even) would give
+    0.007812 and break parity."""
+    from lucene_msmarco_ray.ops.textstats import repetition_stats
+    ds = _docs([" ".join(f"t{i}" for i in range(129))])
+    out = repetition_stats(ds).to_pandas()
+    assert out["n_tokens"].tolist() == [129]
+    assert out["top_bigram_frac"].tolist() == [0.007813]
+
+
 def test_cumulative_agg_goldens(ray_session):
     import ray.data as rd
 
