@@ -2189,6 +2189,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                model="conditional", concurrency=(1, 2),
                                round_to=6)
 
+    def fdbk_term_stats_gate(sf_dir: str):
+        """FdbkTermStats.java composite: dump the RM-conditional
+        feedback-term weights per query from a run (printfdbkterms.sh)."""
+        from lucene_msmarco_ray.pipelines.feedback import fdbk_term_stats
+        run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
+        idx = _ensure_index(sf_dir)
+        return fdbk_term_stats(run, idx, concurrency=(1, 2), round_to=6)
+
     def rm3_expand(sf_dir: str):
         from lucene_msmarco_ray.pipelines.feedback import expand_queries
         run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
@@ -2238,6 +2246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_count": bigrams,
         "srlm_rerank": srlm_rerank,
         "rocchio_expand": rocchio,
+        # (d) new round-4 gates
+        "fdbk_term_stats": fdbk_term_stats_gate,
         # (e) round-3 driver-green, most load-bearing first
         "bm25_topk": bm25_topk,
         "term_stats": term_stats,
@@ -2899,6 +2909,11 @@ FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON c.user_id = v.user_id AND c.ts >= v.ts""",
         "fdbk_rerank": _fdbk_rerank_sql(0.7, 0.3),
+
+        # FdbkTermStats.java: the RM-conditional weights themselves
+        "fdbk_term_stats": _ranked_cte(0.7, 0.3) + f""",
+{_RMCOND}
+SELECT qid, term, round(wt, 6) AS weight FROM wts""",
         "rm3_expand": _rm3_expand_sql(0.7, 0.3),
         "srlm_rerank": _srlm_rerank_sql(0.7, 0.3),
         "rocchio_expand": _rocchio_sql(0.7, 0.3),

@@ -91,6 +91,13 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--run", required=True)
     q.add_argument("--k", type=int, default=50)
 
+    ft = sub.add_parser("fdbkterms", help="printfdbkterms.sh equivalent: "
+                        "dump per-query RM-conditional feedback-term "
+                        "weights from a run file")
+    ft.add_argument("--index", required=True)
+    ft.add_argument("--run", required=True)
+    ft.add_argument("--num-top-docs", type=int, default=20)
+
     c = sub.add_parser("curate", help="quality-filter + exact-dedup a "
                        "parquet corpus; writes the kept (doc_id, features) "
                        "table as parquet")
@@ -196,6 +203,23 @@ def main(argv: list[str] | None = None) -> int:
         kept.write_parquet(args.out)
         n = rd.read_parquet(args.out).count()
         print(json.dumps({"kept": int(n), "out": args.out}))
+        ray.shutdown()
+
+    elif args.cmd == "fdbkterms":
+        ray = _init_ray(args.num_cpus)
+        import ray.data as rd
+        from .pipelines.feedback import fdbk_term_stats
+        from .sources.trec import read_run
+        run_df = read_run(args.run).rename(columns={"docid": "doc_id"})
+        run_df["doc_id"] = run_df["doc_id"].astype(int)
+        wdf = fdbk_term_stats(rd.from_pandas(run_df), args.index,
+                              num_top_docs=args.num_top_docs).to_pandas()
+        # FdbkTermStats.java prints "qid: ..." then "term: weight" lines
+        for qid, grp in wdf.groupby("qid", sort=True):
+            print(f"{qid}:")
+            for _, r in grp.sort_values(
+                    ["weight", "term"], ascending=[False, True]).iterrows():
+                print(f"{r['term']}: {r['weight']}")
         ray.shutdown()
 
     elif args.cmd == "qpp":

@@ -80,6 +80,65 @@ class FeedbackRerankStage:
         })
 
 
+class FdbkTermStatsStage:
+    """One qid group → the RM-conditional feedback-term weights themselves
+    (qid, term, weight), weight-descending — the reference's FdbkTermStats
+    dump (src/main/java/retrieval/FdbkTermStats.java:25-66,
+    printfdbkterms.sh): truncate the run to numTopDocs, fit
+    RelevanceModelConditional, print every term's wt sorted desc
+    (RetrievedDocTermInfo.compareTo:28-30).
+
+    ``round_to``: SQL-comparable mode — round weights and tie-break ties
+    (-weight, term); the reference's tie order is HashMap insertion order,
+    which is not deterministic across JVMs.
+    """
+
+    __name__ = "fdbk_term_stats"
+
+    def __init__(self, index_dir: str,
+                 num_top_docs: int = RLM_NUM_TOP_DOCS,
+                 round_to: int | None = None):
+        self.reader = IndexReader(index_dir)
+        self.num_top_docs = num_top_docs
+        self.round_to = round_to
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        qid = str(g["qid"].iloc[0])
+        # the reference arraycopies the top numTopDocs BEFORE fitting —
+        # truncating here also skips forward-index lookups past the cut
+        topdocs = _topdocs_of(g)[: self.num_top_docs]
+        vecs = self.reader.term_vectors([d for d, _ in topdocs])
+        stats = TopDocsTermStats(topdocs, vecs, self.num_top_docs)
+        if not stats.docvecs or stats.sum_tf == 0:
+            return pd.DataFrame({"qid": pd.Series([], dtype=object),
+                                 "term": pd.Series([], dtype=object),
+                                 "weight": pd.Series([], dtype=np.float64)})
+        weights = rm_conditional_weights(stats)
+        items = list(weights.items())
+        if self.round_to is not None:
+            items = [(t, round(w, self.round_to)) for t, w in items]
+            items.sort(key=lambda x: (-x[1], x[0]))
+        else:
+            items.sort(key=lambda x: -x[1])
+        return pd.DataFrame({"qid": qid,
+                             "term": [t for t, _ in items],
+                             "weight": np.array([w for _, w in items],
+                                                np.float64)})
+
+
+def fdbk_term_stats(run_ds, index_dir: str,
+                    num_top_docs: int = RLM_NUM_TOP_DOCS,
+                    concurrency=(1, 4), round_to: int | None = None):
+    """Distributed FdbkTermStats (the last reference entry point): one
+    actor-pool group pass over the run, forward-index state per actor."""
+    return run_ds.groupby("qid").map_groups(
+        FdbkTermStatsStage, batch_format="pandas", concurrency=concurrency,
+        num_cpus=0.5,
+        fn_constructor_kwargs=dict(index_dir=index_dir,
+                                   num_top_docs=num_top_docs,
+                                   round_to=round_to))
+
+
 class ExpandQueryStage:
     """One qid group → RM3-expanded query rows (qid, term, boost) (R5/A6)."""
 

@@ -62,6 +62,15 @@ def test_cli_build_search_evaluate(corpus_dir, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert open(res).read() == open(res2).read()
 
+    # printfdbkterms.sh equivalent: qid headers + "term: weight" lines
+    r = _run_cli("fdbkterms", "--index", idx, "--run", res,
+                 "--num-top-docs", "10")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out_lines = [ln for ln in r.stdout.splitlines() if ":" in ln]
+    assert any(ln.startswith("1:") for ln in out_lines)
+    assert any(ln.startswith("2:") for ln in out_lines)
+    assert len(out_lines) > 4
+
 
 def test_parallelism_determinism(corpus_dir, tmp_path):
     """Same build at num_cpus=1 and num_cpus=4 → identical segment CONTENT

@@ -53,6 +53,36 @@ def test_expand_queries_pipeline(run_and_index):
         assert len(got - orig) > 0       # expansion terms were added
 
 
+def test_fdbk_term_stats_pipeline(run_and_index):
+    """FdbkTermStats dump semantics: weights are the RM-conditional fit
+    itself (they sum to 1 per query — each top doc contributes
+    sim/sum_sim × a per-doc distribution that sums to <1 only via the
+    df mixing; verify against a direct in-process recomputation)."""
+    from lucene_msmarco_ray.fdbk.rlm import (TopDocsTermStats,
+                                             rm_conditional_weights)
+    from lucene_msmarco_ray.pipelines.feedback import fdbk_term_stats
+    from lucene_msmarco_ray.search.searcher import IndexReader
+
+    run, idx = run_and_index
+    out = fdbk_term_stats(run, idx, num_top_docs=20,
+                          concurrency=1).to_pandas()
+    reader = IndexReader(idx)
+    base = run.to_pandas()
+    for qid in QUERIES:
+        g = out[out.qid == qid]
+        b = base[base.qid == qid].sort_values("rank").head(20)
+        topdocs = list(zip(b["doc_id"].astype(int),
+                           b["score"].astype(float)))
+        vecs = reader.term_vectors([d for d, _ in topdocs])
+        exp = rm_conditional_weights(TopDocsTermStats(topdocs, vecs, 20))
+        got = dict(zip(g["term"], g["weight"]))
+        assert set(got) == set(exp)
+        for t, w in exp.items():
+            assert abs(got[t] - w) < 1e-12
+        # dump order: weight-descending (reference compareTo)
+        assert g["weight"].is_monotonic_decreasing
+
+
 def test_qpp_pipeline(run_and_index):
     run, idx = run_and_index
     qp = qpp_estimates(run, idx, QUERIES, k=50, concurrency=1).to_pandas()
