@@ -1692,6 +1692,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["event_id", "ts", "user_id", "value"])
         return cumulative_agg(ds)
 
+    def cumulative_agg_chunked_gate(sf_dir: str):
+        """Skew-proof two-level cumulative_agg (per-(user, time-chunk)
+        segments + distributed exclusive-prefix offsets) — must equal the
+        SAME window-cumsum oracle as the plain op; chunk = 1h on gate data
+        so chunks genuinely split and the offset shift is exercised."""
+        from lucene_msmarco_ray.ops.events import cumulative_agg_chunked
+        from lucene_msmarco_ray.sources.pq import read_parquet_sized
+        ds = read_parquet_sized(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "value"])
+        return cumulative_agg_chunked(ds, chunk_seconds=3600)
+
     def langid(sf_dir: str):
         from lucene_msmarco_ray.ops.textstats import lang_id
         ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
@@ -2010,6 +2022,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return joined.map_batches(fill, batch_format="pyarrow")
 
+    def asof_join_nulls_gate(sf_dir: str):
+        """Null-parity companion to asof_join: the SAME join, but the gate
+        output carries an explicit view_is_null flag DERIVED FROM the
+        op's actual nulls (plus the coalesced value for dtype-stable
+        hashing). If the op ever started emitting a sentinel instead of
+        NULL for unmatched rows, the flag would diverge from the oracle's
+        `v.event_id IS NULL` — restoring the null-handling coverage the
+        coalesced gate gave up."""
+        import pyarrow.parquet as pq
+
+        from lucene_msmarco_ray.ops.events import asof_join
+        from lucene_msmarco_ray.sources.pq import read_parquet_sized
+        ev = os.path.join(sf_dir, "events.parquet")
+        schema = pq.read_schema(ev)
+        clicks = read_parquet_sized(ev).filter(expr="event_type == 'click'")
+        views = read_parquet_sized(ev).filter(expr="event_type == 'view'")
+        joined = asof_join(clicks, views, by_col="user_id", ts_col="ts",
+                           right_cols={"event_id": "view_event"},
+                           left_cols=["event_id"],
+                           left_schema=schema, right_schema=schema)
+
+        def flag(batch):
+            import pyarrow.compute as pc
+            col = batch["view_event"]
+            out = batch.set_column(
+                batch.schema.get_field_index("view_event"), "view_event",
+                pc.fill_null(col, -1))
+            return out.append_column("view_is_null", pc.is_null(col))
+
+        return joined.map_batches(flag, batch_format="pyarrow")
+
     def sessionize_chunked_gate(sf_dir: str):
         """Skew-proof two-level sessionize (per-(user, time-chunk)
         fragments + fragment merge) — must equal the SAME window-function
@@ -2248,6 +2291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rocchio_expand": rocchio,
         # (d) new round-4 gates
         "fdbk_term_stats": fdbk_term_stats_gate,
+        "asof_join_nulls": asof_join_nulls_gate,
+        "cumulative_agg_chunked": cumulative_agg_chunked_gate,
         # (e) round-3 driver-green, most load-bearing first
         "bm25_topk": bm25_topk,
         "term_stats": term_stats,
@@ -2600,6 +2645,18 @@ FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
 
+        # the chunked variant must reproduce the SAME window cumsum
+        "cumulative_agg_chunked": """WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events)
+SELECT event_id, user_id, ts_us,
+  row_number() OVER w AS cum_events,
+  round(sum(cents) OVER w / 100.0, 6) AS cum_value
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
         "token_count": """SELECT doc_id,
   len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
   len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT
@@ -2905,6 +2962,13 @@ FROM o""",
 FROM lineitem GROUP BY 1""",
         "asof_join": """SELECT c.user_id, c.event_id,
        coalesce(v.event_id, -1) AS view_event
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts""",
+
+        "asof_join_nulls": """SELECT c.user_id, c.event_id,
+       coalesce(v.event_id, -1) AS view_event,
+       (v.event_id IS NULL) AS view_is_null
 FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON c.user_id = v.user_id AND c.ts >= v.ts""",

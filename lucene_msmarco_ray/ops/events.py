@@ -325,6 +325,7 @@ def asof_join(left_ds, right_ds, by_col: str, ts_col: str,
 
 def cumulative_agg(ds, key_col: str = "user_id", ts_col: str = "ts",
                    value_col: str = "value", id_col: str = "event_id",
+                   hot_user_events: int = 5_000_000,
                    num_parts: int | None = None):
     """Per-key running aggregates ordered by (ts, id) — one output row per
     event: (event_id, user_id, ts_us, cum_events, cum_value).
@@ -337,9 +338,9 @@ def cumulative_agg(ds, key_col: str = "user_id", ts_col: str = "ts",
     — and the SQL oracle's window cumsum replays the same integers.
 
     Partitioning assumption: one key's events fit a task (same bound as
-    sessionize; use a chunked two-level variant for pathologically hot keys
-    — the running total then needs a per-chunk offset scan like
-    ``pack_sequences``)."""
+    sessionize, enforced by ``hot_user_events`` detection + logging); use
+    :func:`cumulative_agg_chunked` for pathologically hot keys — identical
+    output with a per-chunk offset scan like ``pack_sequences``."""
     parts = np.uint64(coarse_parts(num_parts))
 
     def part_of(batch: pa.Table) -> pa.Table:
@@ -365,6 +366,7 @@ def cumulative_agg(ds, key_col: str = "user_id", ts_col: str = "ts",
         new_user = np.concatenate(([True], u[1:] != u[:-1]))
         ustarts = np.flatnonzero(new_user)
         ulens = np.diff(np.concatenate((ustarts, [u.size])))
+        check_hot_users(u[ustarts], ulens, hot_user_events)
         cs = np.cumsum(cents)
         base = np.repeat(cs[ustarts] - cents[ustarts], ulens)
         cnt = np.arange(u.size, dtype=np.int64) - np.repeat(ustarts, ulens) + 1
@@ -379,6 +381,161 @@ def cumulative_agg(ds, key_col: str = "user_id", ts_col: str = "ts",
     running.__name__ = "cumulative_agg"
     return (ds.map_batches(part_of, batch_format="pyarrow")
             .groupby("__part").map_groups(running, batch_format="pandas"))
+
+
+def cumulative_agg_chunked(ds, chunk_seconds: int = 86_400,
+                           key_col: str = "user_id", ts_col: str = "ts",
+                           value_col: str = "value",
+                           id_col: str = "event_id",
+                           num_parts: int | None = None):
+    """Skew-proof :func:`cumulative_agg`: identical output, but no
+    partition ever holds more than one (key, time-chunk) of events — the
+    scale path for hot keys that plain cumulative_agg can only detect.
+
+    Two-pass distributed prefix sum (the ``pack_sequences`` discipline):
+
+    1. a column-pruned pre-aggregation pass reduces each batch to partial
+       (key, chunk, n, cents) rows; one tiny groupby sums them into
+       per-(key, chunk) totals, and a key-hash exchange of THOSE summaries
+       computes each chunk's exclusive prefix (events before this chunk,
+       cents before this chunk) per key — O(keys x chunks) rows, never
+       event-sized.
+    2. events and offset rows share ONE hash(key, chunk) exchange; each
+       partition merges its offsets in (vectorized pandas merge) and runs
+       the same lexsort + segmented-cumsum pass as the plain op, shifted
+       by the offsets. Fixed-point int64 cents keep the running totals
+       bit-identical to the single-pass op under any chunking.
+
+    Partitioning assumption: one key's events within one ``chunk_seconds``
+    window fit a task. No assumption on events per key overall."""
+    chunk_us = int(chunk_seconds) * 1_000_000
+    parts = np.uint64(coarse_parts(num_parts))
+
+    def _cents_of(batch: pa.Table) -> np.ndarray:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+    # ---- pass 1: per-(key, chunk) totals -> per-chunk exclusive prefix
+    def chunk_partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch[key_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "chunk": _ts_us(batch[ts_col]) // chunk_us,
+            "cents": _cents_of(batch)})
+        agg = df.groupby(["user_id", "chunk"], sort=False).agg(
+            n=("cents", "size"), c=("cents", "sum")).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def user_part(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (_mix64(u) % parts).astype(np.int64)
+        return batch.append_column("__p1", pa.array(p))
+
+    def exclusive_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        c = g["chunk"].to_numpy()
+        n = g["sum(n)"].to_numpy(np.int64)
+        cents = g["sum(c)"].to_numpy(np.int64)
+        order = np.lexsort((c, u))
+        u, c, n, cents = u[order], c[order], n[order], cents[order]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        csn, csc = np.cumsum(n), np.cumsum(cents)
+        ustarts = np.flatnonzero(new_user)
+        ulens = np.diff(np.concatenate((ustarts, [u.size])))
+        base_n = np.repeat(csn[ustarts] - n[ustarts], ulens)
+        base_c = np.repeat(csc[ustarts] - cents[ustarts], ulens)
+        return pd.DataFrame({
+            "user_id": u, "chunk": c,
+            "off_n": csn - n - base_n,
+            "off_cents": csc - cents - base_c})
+
+    exclusive_prefix.__name__ = "chunk_exclusive_prefix"
+    from ray.data.aggregate import Sum
+    offsets = (ds.map_batches(chunk_partials, batch_format="pyarrow")
+               .groupby(["user_id", "chunk"]).aggregate(Sum("n"), Sum("c"))
+               .map_batches(user_part, batch_format="pyarrow")
+               .groupby("__p1").map_groups(exclusive_prefix,
+                                           batch_format="pandas"))
+
+    # ---- pass 2: events + offsets share one hash(key, chunk) exchange
+    def _kc_part(u: np.ndarray, c: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            key = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                   + c.astype(np.uint64))
+        return (_mix64(key) % parts).astype(np.int64)
+
+    def event_rows(batch: pa.Table) -> pa.Table:
+        u = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_us(batch[ts_col])
+        c = ts // chunk_us
+        return pa.table({
+            "__part": pa.array(_kc_part(u, c)),
+            "__kind": pa.array(np.zeros(u.size, np.int8)),
+            "user_id": pa.array(u),
+            "chunk": pa.array(c),
+            "ts_us": pa.array(ts),
+            "event_id": batch[id_col].cast(pa.int64()),
+            "cents": pa.array(_cents_of(batch)),
+            "off_n": pa.array(np.zeros(u.size, np.int64)),
+            "off_cents": pa.array(np.zeros(u.size, np.int64))})
+
+    def offset_rows(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["chunk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(u.size, np.int64)
+        return pa.table({
+            "__part": pa.array(_kc_part(u, c)),
+            "__kind": pa.array(np.ones(u.size, np.int8)),
+            "user_id": pa.array(u),
+            "chunk": pa.array(c),
+            "ts_us": pa.array(z),
+            "event_id": pa.array(z - 1),
+            "cents": pa.array(z),
+            "off_n": batch["off_n"].cast(pa.int64()),
+            "off_cents": batch["off_cents"].cast(pa.int64())})
+
+    def running_shifted(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["__kind"] == 0]
+        off = g[g["__kind"] == 1][["user_id", "chunk", "off_n", "off_cents"]]
+        if ev.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "ts_us": pd.Series([], dtype=np.int64),
+                "cum_events": pd.Series([], dtype=np.int64),
+                "cum_value": pd.Series([], dtype=np.float64)})
+        m = ev[["user_id", "chunk", "ts_us", "event_id", "cents"]].merge(
+            off, on=["user_id", "chunk"], how="left")
+        u = m["user_id"].to_numpy()
+        c = m["chunk"].to_numpy()
+        ts = m["ts_us"].to_numpy()
+        eid = m["event_id"].to_numpy()
+        cents = m["cents"].to_numpy()
+        off_n = m["off_n"].to_numpy(np.int64)
+        off_c = m["off_cents"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, c, u))
+        u, c, ts, eid = u[order], c[order], ts[order], eid[order]
+        cents, off_n, off_c = cents[order], off_n[order], off_c[order]
+        new_seg = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (c[1:] != c[:-1])))
+        sstarts = np.flatnonzero(new_seg)
+        slens = np.diff(np.concatenate((sstarts, [u.size])))
+        cs = np.cumsum(cents)
+        base = np.repeat(cs[sstarts] - cents[sstarts], slens)
+        cnt_in = (np.arange(u.size, dtype=np.int64)
+                  - np.repeat(sstarts, slens) + 1)
+        return pd.DataFrame({
+            "event_id": eid,
+            "user_id": u,
+            "ts_us": ts,
+            "cum_events": off_n + cnt_in,
+            "cum_value": np.round((off_c + (cs - base)) / 100.0, 6)})
+
+    running_shifted.__name__ = "cumulative_agg_chunked"
+    both = (ds.map_batches(event_rows, batch_format="pyarrow")
+            .union(offsets.map_batches(offset_rows, batch_format="pyarrow")))
+    return both.groupby("__part").map_groups(running_shifted,
+                                             batch_format="pandas")
 
 
 def windowed_agg(ds, window_seconds: int = 3600, key_col: str = "event_type",
@@ -481,6 +638,7 @@ def sliding_window_agg(ds, window_seconds: int = 3600,
 def funnel_counts(ds, steps, within_seconds: int = 86_400,
                   user_col: str = "user_id", ts_col: str = "ts",
                   type_col: str = "event_type",
+                  hot_user_events: int = 5_000_000,
                   num_parts: int | None = None):
     """Ordered-funnel analysis → (step, event_type, n_users): how many
     users complete the first k steps in order, each step within
@@ -492,12 +650,22 @@ def funnel_counts(ds, steps, within_seconds: int = 86_400,
     partition resolves its users' step times with k vectorized
     per-step groupby-mins (k = funnel length, tiny), and only the
     per-partition (step, count) partials cross the second (k-row)
-    exchange."""
+    exchange.
+
+    Skew bound: one user's STEP events must fit a task (non-step events
+    are pruned before the exchange, so only funnel-relevant rows move);
+    ``hot_user_events`` enforces detection + logging via
+    :func:`check_hot_users`, as in sessionize."""
     steps = list(steps)
     win_us = int(within_seconds) * 1_000_000
     parts = np.uint64(coarse_parts(num_parts))
 
     def part_of(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        # prune non-step events BEFORE the exchange — at scale most rows
+        # are funnel-irrelevant and must not cross the all-to-all
+        batch = batch.filter(pc.is_in(batch[type_col].cast(pa.string()),
+                                      value_set=pa.array(steps)))
         u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         p = (_mix64(u) % parts).astype(np.int64)
         return pa.table({
@@ -508,6 +676,8 @@ def funnel_counts(ds, steps, within_seconds: int = 86_400,
         })
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        uid, ucnt = np.unique(g["user_id"].to_numpy(), return_counts=True)
+        check_hot_users(uid, ucnt, hot_user_events)
         # bound: per-user completion time of the previous step (NaN = out)
         bound = None
         counts = []
@@ -549,6 +719,7 @@ def funnel_counts(ds, steps, within_seconds: int = 86_400,
 
 def cohort_retention(ds, period_seconds: int = 604_800,
                      user_col: str = "user_id", ts_col: str = "ts",
+                     hot_user_periods: int = 1_000_000,
                      num_parts: int | None = None):
     """Cohort retention → (cohort, offset, n_users): users whose FIRST
     activity falls in period ``cohort`` and who are also active in period
@@ -558,7 +729,13 @@ def cohort_retention(ds, period_seconds: int = 604_800,
     (events collapse before anything moves), ONE user-hash exchange
     co-locates a user's periods, each partition computes cohorts +
     offsets vectorized, and only (cohort, offset, partial-count) rows
-    cross the final reduce."""
+    cross the final reduce.
+
+    Skew bound: event-count skew collapses in the map stage (a user with
+    10^9 events in one period ships ONE pair); the residual bound is
+    DISTINCT PERIODS per user — timeline / period_seconds, e.g. ~522 for
+    a decade of weekly cohorts — enforced by detection + logging via
+    ``hot_user_periods`` for degenerate period choices."""
     per_us = int(period_seconds) * 1_000_000
     parts = np.uint64(coarse_parts(num_parts))
 
@@ -574,6 +751,8 @@ def cohort_retention(ds, period_seconds: int = 604_800,
 
     def offsets(g: pd.DataFrame) -> pd.DataFrame:
         df = g.drop_duplicates(["user_id", "period"])
+        uid, ucnt = np.unique(df["user_id"].to_numpy(), return_counts=True)
+        check_hot_users(uid, ucnt, hot_user_periods)
         cohort = df.groupby("user_id")["period"].transform("min")
         out = pd.DataFrame({"cohort": cohort.to_numpy(np.int64),
                             "offset": (df["period"] - cohort)

@@ -329,3 +329,88 @@ def test_cohort_retention_goldens(ray_session):
     rel = out.assign(cohort=out["cohort"] - int(base_p))
     got = {(r.cohort, r.offset): r.n_users for r in rel.itertuples()}
     assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1}
+
+
+def test_cumulative_agg_chunked_matches_plain(ray_session):
+    """Chunked (skew-proof) cumulative_agg ≡ plain cumulative_agg on
+    randomized events: a hot user spanning many chunks, timestamp ties,
+    and chunk boundaries mid-stream all reproduce the same running
+    totals bit-for-bit."""
+    import pandas as pd
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.events import (cumulative_agg,
+                                               cumulative_agg_chunked)
+    rng = np.random.default_rng(17)
+    rows = []
+    eid = 0
+    for user in range(1, 8):
+        n = 500 if user == 3 else int(rng.integers(5, 40))   # user 3 hot
+        t = 0.0
+        for _ in range(n):
+            t += float(rng.choice([0, 1, 60, 1801, 7200]))   # incl. ties
+            rows.append(_ev(eid, user, t, float(rng.integers(1, 9)) / 4))
+            eid += 1
+    ds = rd.from_items(rows, override_num_blocks=8)
+    cols = ["event_id", "user_id", "ts_us", "cum_events", "cum_value"]
+    plain = cumulative_agg(ds).to_pandas()[cols] \
+        .sort_values("event_id").reset_index(drop=True)
+    # chunk = 1h → the hot user's stream splits into many chunks and the
+    # exclusive-prefix offsets do real work
+    chunked = cumulative_agg_chunked(ds, chunk_seconds=3600) \
+        .to_pandas()[cols].sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, chunked)
+
+
+def test_cumulative_agg_chunked_boundary_golden(ray_session):
+    """Running totals carry exactly across a chunk boundary (the offset
+    shift, not per-chunk restart)."""
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.events import cumulative_agg_chunked
+    rows = [_ev(0, 1, 3590, 1.25),    # chunk 0 (3600s chunks)
+            _ev(1, 1, 3620, 2.0),     # chunk 1 → cum 2, 3.25
+            _ev(2, 1, 7300, 4.0)]     # chunk 2 → cum 3, 7.25
+    out = cumulative_agg_chunked(
+        rd.from_items(rows, override_num_blocks=2), chunk_seconds=3600) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert out["cum_events"].tolist() == [1, 2, 3]
+    assert out["cum_value"].tolist() == [1.25, 3.25, 7.25]
+
+
+def test_funnel_cohort_forced_skew_detection(ray_session):
+    """funnel_counts and cohort_retention stay correct under a hot user
+    and their detectors flag exactly that user (the enforced skew cap,
+    mirroring sessionize's)."""
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.events import cohort_retention, funnel_counts
+    rows = []
+    eid = 0
+    # hot user 7: 300 view events + the funnel steps; cold users do the
+    # funnel only
+    for i in range(300):
+        rows.append(_ev(eid, 7, i, 1.0, "view")); eid += 1
+    rows.append(_ev(eid, 7, 400, 1.0, "click")); eid += 1
+    rows.append(_ev(eid, 7, 500, 1.0, "buy")); eid += 1
+    for u in (8, 9):
+        rows.append(_ev(eid, u, 0, 1.0, "view")); eid += 1
+        rows.append(_ev(eid, u, 10, 1.0, "click")); eid += 1
+    ds = rd.from_items(rows, override_num_blocks=4)
+
+    out = funnel_counts(ds, ["view", "click", "buy"], within_seconds=86400,
+                        hot_user_events=100).to_pandas() \
+        .sort_values("step").reset_index(drop=True)
+    assert out["n_users"].tolist() == [3, 3, 1]
+
+    # non-step pruning: a funnel whose steps exclude 'view' must see only
+    # the click/buy rows (same counts with the hot rows never shuffled)
+    out2 = funnel_counts(ds, ["click", "buy"], within_seconds=86400) \
+        .to_pandas().sort_values("step").reset_index(drop=True)
+    assert out2["n_users"].tolist() == [3, 1]
+
+    # cohort detector: degenerate 1-second periods → hot user has ~300
+    # distinct periods and gets flagged; output still exact
+    ch = cohort_retention(ds, period_seconds=100_000,
+                          hot_user_periods=2).to_pandas()
+    assert int(ch[ch["offset"] == 0]["n_users"].sum()) == 3
