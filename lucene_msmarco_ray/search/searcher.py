@@ -43,7 +43,14 @@ RUN_SCHEMA = pa.schema([
 
 
 class IndexReader:
-    def __init__(self, index_dir: str, preload: bool = False):
+    def __init__(self, index_dir: str, preload: bool = False,
+                 preload_ref=None):
+        """``preload_ref``: an ``ray.put`` ObjectRef of
+        ``preload_tables(index_dir)`` — every actor then builds its views
+        over ONE shared plasma copy of the segment/meta tables (zero-copy
+        Arrow buffers) instead of re-reading and re-decoding the parquet
+        per actor. On a multi-node cluster this is the broadcast pattern:
+        one object-store copy per node, not one decode per actor."""
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
@@ -51,7 +58,12 @@ class IndexReader:
         self.avgdl = float(self.stats["avgdl"])
         self.total_len = int(self.stats["total_len"])
         self.num_shards = int(self.stats["num_shards"])
-        self._load_doc_lens()
+        seg_tbl = meta_tbl = None
+        if preload_ref is not None:
+            import ray
+            seg_tbl, meta_tbl = ray.get(preload_ref)
+            preload = False
+        self._load_doc_lens(meta_tbl)
         self._cache: dict[str, TermPostings | None] = {}
         self._decoded: dict[str, tuple] = {}
         self._decoded_cap = 1024
@@ -64,14 +76,18 @@ class IndexReader:
         self._preloaded = False
         if preload:
             self._preload_all()
+        elif seg_tbl is not None:
+            self._rows_to_cache(seg_tbl)
+            self._preloaded = True
 
     # --- doc lengths (dense array) ---
-    def _load_doc_lens(self) -> None:
-        base = os.path.join(self.index_dir, "staged")
-        meta_dirs = sorted(
-            os.path.join(base, p, "kind=m") for p in os.listdir(base)
-            if p.startswith("part="))
-        t = pads_dirs(meta_dirs).to_table(columns=["doc_id", "dl"])
+    def _load_doc_lens(self, t: pa.Table | None = None) -> None:
+        if t is None:
+            base = os.path.join(self.index_dir, "staged")
+            meta_dirs = sorted(
+                os.path.join(base, p, "kind=m") for p in os.listdir(base)
+                if p.startswith("part="))
+            t = pads_dirs(meta_dirs).to_table(columns=["doc_id", "dl"])
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         dls = t["dl"].to_numpy(zero_copy_only=False)
         size = int(ids.max()) + 1 if len(ids) else 0
@@ -316,6 +332,23 @@ def score_query_taat(reader: IndexReader, qterms: dict[str, float], k: int,
     return _topk_exact(uniq, np.bincount(inv, weights=all_s), k)
 
 
+def preload_tables(index_dir: str) -> tuple[pa.Table, pa.Table]:
+    """Read the (segments, doc-meta) tables ONCE for object-store sharing
+    across a searcher pool: ``ref = ray.put(preload_tables(idx))`` then
+    ``IndexReader(idx, preload_ref=ref)`` per actor. Requires the
+    index-fits-one-node preload mode (search/sharded.py is the
+    doc-partitioned path beyond that)."""
+    seg = os.path.join(index_dir, "segments")
+    seg_tbl = (pads.dataset(seg).to_table() if os.path.isdir(seg)
+               else pa.table({}))
+    base = os.path.join(index_dir, "staged")
+    meta_dirs = sorted(
+        os.path.join(base, p, "kind=m") for p in os.listdir(base)
+        if p.startswith("part="))
+    meta_tbl = pads_dirs(meta_dirs).to_table(columns=["doc_id", "dl"])
+    return seg_tbl.combine_chunks(), meta_tbl.combine_chunks()
+
+
 class SearchStage:
     """Actor-pool stage: query batch (qid, text) → TREC-style run rows.
 
@@ -325,8 +358,10 @@ class SearchStage:
     """
 
     def __init__(self, index_dir: str, scorer: str = "bm25", k: int = 1000,
-                 preload: bool = False, algo: str = "auto", **scorer_kw):
-        self.reader = IndexReader(index_dir, preload=preload)
+                 preload: bool = False, algo: str = "auto",
+                 preload_ref=None, **scorer_kw):
+        self.reader = IndexReader(index_dir, preload=preload,
+                                  preload_ref=preload_ref)
         st = self.reader.stats
         self.analyzer = get_analyzer(
             st["analyzer"], st.get("stopword_file"),
@@ -396,10 +431,20 @@ def retrieve(queries_ds, index_dir: str, *, scorer: str = "bm25", k: int = 1000,
     the pool load-balanced (per-query cost varies ~2x with term weight)."""
     hi = concurrency[1] if isinstance(concurrency, tuple) else concurrency
     queries_ds = queries_ds.repartition(max(8 * hi, 8))
+    preload_ref = None
+    if preload and hi > 1:
+        # one driver-side read + object-store broadcast instead of every
+        # actor re-decoding the segment parquet (actors build zero-copy
+        # views over the shared plasma buffers) — cuts pool spin-up from
+        # O(actors x index decode) to O(1 decode + actor launch)
+        import ray
+        preload_ref = ray.put(preload_tables(index_dir))
+        preload = False
     return queries_ds.map_batches(
         SearchStage,
         fn_constructor_kwargs=dict(index_dir=index_dir, scorer=scorer, k=k,
-                                   preload=preload, algo=algo, **scorer_kw),
+                                   preload=preload, algo=algo,
+                                   preload_ref=preload_ref, **scorer_kw),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
         **({"num_cpus": actor_num_cpus} if actor_num_cpus else {}))
