@@ -36,6 +36,14 @@ class BM25Scorer:
     k1: float = 0.7
     b: float = 0.3
 
+    def cache_key(self) -> tuple:
+        """Hashable identity for per-(term, scorer) contribution caches.
+
+        Every field that changes term_scores MUST appear here — the searcher
+        keys decoded-posting contributions on it, so an omitted param would
+        silently share scores between distinct scorers."""
+        return ("bm25", self.k1, self.b)
+
     def idf(self, N: int, df) -> np.ndarray | float:
         return np.log(1.0 + (N - np.asarray(df, dtype=np.float64) + 0.5)
                       / (np.asarray(df, dtype=np.float64) + 0.5))
@@ -59,6 +67,9 @@ class BM25Scorer:
 class LMDirichletScorer:
     mu: float = 1000.0
     clamp: bool = True  # Lucene 8 clamps each term score at 0
+
+    def cache_key(self) -> tuple:
+        return ("lmdir", self.mu, self.clamp)
 
     def term_scores(self, tf: np.ndarray, dl: np.ndarray, df: int, cf: int,
                     N: int, avgdl: float, total_len: int) -> np.ndarray:

@@ -209,7 +209,8 @@ class IndexReader:
         """(docs, per-posting score contributions) for one term under one
         scorer — cached: the contribution vector does not depend on the
         query, only on (term, scorer params)."""
-        key = (term, repr(scorer))
+        ck = getattr(scorer, "cache_key", None)
+        key = (term, ck() if ck is not None else repr(scorer))
         hit = self._contrib.get(key)
         if hit is not None:
             return hit

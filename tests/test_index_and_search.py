@@ -179,3 +179,29 @@ def test_resume_invalidates_on_changed_input(ray_session, tmp_path):
     os.utime(src, ns=(1, 1))                    # simulate changed input
     build()
     assert os.path.getmtime(seg) != mtime1      # re-tokenized AND re-merged
+
+
+def test_contribution_cache_keys_on_scorer_params(built_index, corpus_tokens):
+    """Two scorers differing only in params must never share cached
+    per-(term, scorer) contribution vectors (VERDICT r3 #8: keying on an
+    explicit cache_key(), not repr, so a custom scorer whose repr omits a
+    param can't silently collide)."""
+    idx_dir, _ = built_index
+    r = IndexReader(idx_dir)
+    vocab = sorted({t for v in corpus_tokens.values() for t in v})
+    term = max(vocab, key=lambda t: sum(1 for v in corpus_tokens.values()
+                                        if t in v))
+    a = BM25Scorer(k1=0.7, b=0.3)
+    b = BM25Scorer(k1=1.2, b=0.75)
+    docs_a, contrib_a = r.get_scored_postings(term, a)
+    docs_b, contrib_b = r.get_scored_postings(term, b)
+    assert (term, a.cache_key()) in r._contrib
+    assert (term, b.cache_key()) in r._contrib
+    assert a.cache_key() != b.cache_key()
+    assert not np.allclose(contrib_a, contrib_b)
+    # same params → same key → cache hit returns the identical arrays
+    docs_a2, contrib_a2 = r.get_scored_postings(term, BM25Scorer(k1=0.7, b=0.3))
+    assert contrib_a2 is contrib_a
+    # scorer families never collide even with equal param tuples
+    assert BM25Scorer(k1=1000.0, b=1.0).cache_key() != \
+        LMDirichletScorer(mu=1000.0, clamp=True).cache_key()
