@@ -431,6 +431,21 @@ def retrieve(queries_ds, index_dir: str, *, scorer: str = "bm25", k: int = 1000,
     one task on one actor regardless of pool size. 8 blocks per actor keeps
     the pool load-balanced (per-query cost varies ~2x with term weight)."""
     hi = concurrency[1] if isinstance(concurrency, tuple) else concurrency
+    if not isinstance(concurrency, tuple):
+        # A FIXED pool sized >= the cluster's CPUs deadlocks: Ray Data waits
+        # for all N actors before scheduling work, the actors hold every CPU,
+        # and the upstream repartition can never produce a block (observed
+        # live, not hypothetical). Clamp to leave one CPU for producers;
+        # autoscaling (min, max) pools start at min and are immune.
+        try:
+            import ray
+            total = int(ray.cluster_resources().get("CPU", 0))
+        except Exception:
+            total = 0
+        per_actor = actor_num_cpus or 1.0
+        if total and hi * per_actor >= total:
+            hi = max(1, int((total - 1) / per_actor))
+            concurrency = hi
     queries_ds = queries_ds.repartition(max(8 * hi, 8))
     preload_ref = None
     if preload and hi > 1:

@@ -205,3 +205,20 @@ def test_contribution_cache_keys_on_scorer_params(built_index, corpus_tokens):
     # scorer families never collide even with equal param tuples
     assert BM25Scorer(k1=1000.0, b=1.0).cache_key() != \
         LMDirichletScorer(mu=1000.0, clamp=True).cache_key()
+
+
+def test_retrieve_fixed_pool_never_hangs_on_full_cluster(built_index,
+                                                         ray_session):
+    """A fixed actor pool sized to the whole cluster used to deadlock the
+    upstream repartition (all CPUs held by idle actors waiting for blocks);
+    retrieve() now clamps fixed pools to leave a producer CPU."""
+    import ray
+    import ray.data as rd
+    from lucene_msmarco_ray.search.searcher import retrieve
+    idx_dir, _ = built_index
+    ncpu = int(ray.cluster_resources()["CPU"])
+    qs = rd.from_items([{"qid": "q1", "text": "the data"},
+                        {"qid": "q2", "text": "index value"}])
+    run = retrieve(qs, idx_dir, scorer="bm25", k=5, concurrency=ncpu,
+                   preload=True)
+    assert run.count() > 0
