@@ -2240,6 +2240,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = _ensure_index(sf_dir)
         return fdbk_term_stats(run, idx, concurrency=(1, 2), round_to=6)
 
+    def redact_text_gate(sf_dir: str):
+        """PII-style regex scrubbing — ordered rewrites, per-doc match
+        count with sequential semantics (counts see each pattern's input
+        state); pure Arrow RE2 kernels, the oracle chains regexp_replace
+        in the same RE2 dialect."""
+        from lucene_msmarco_ray.ops.strings import redact
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
+        return redact(ds, [(r"customer \w+", "<NAME>"),
+                           (r"\bvalue\b", "<V>")])
+
+    def json_extract_agg_gate(sf_dir: str):
+        """Numeric field out of the semi-structured props column (RE2
+        named group, no JSON parser in the hot path) + per-event-type
+        sum/count via the partial-aggregate discipline."""
+        from lucene_msmarco_ray.ops.strings import extract_field_agg
+        ds = _read16(sf_dir, "events.parquet", ["event_type", "props"])
+        return extract_field_agg(ds, r'"k":\s*(?P<k>\d+)', "props",
+                                 "event_type")
+
     def rm3_expand(sf_dir: str):
         from lucene_msmarco_ray.pipelines.feedback import expand_queries
         run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
@@ -2293,6 +2312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fdbk_term_stats": fdbk_term_stats_gate,
         "asof_join_nulls": asof_join_nulls_gate,
         "cumulative_agg_chunked": cumulative_agg_chunked_gate,
+        "redact_text": redact_text_gate,
+        "json_extract_agg": json_extract_agg_gate,
         # (e) round-3 driver-green, most load-bearing first
         "bm25_topk": bm25_topk,
         "term_stats": term_stats,
@@ -2656,6 +2677,26 @@ SELECT event_id, user_id, ts_us,
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
+        # sequential-rewrite semantics: pattern 2's count runs against
+        # pattern 1's OUTPUT (same as the engine's ordered kernel chain)
+        "redact_text": r"""WITH s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, 'customer \w+')) AS c1,
+         regexp_replace(text, 'customer \w+', '<NAME>', 'g') AS t1
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(t1, '\bvalue\b', '<V>', 'g') AS text_redacted,
+       CAST(c1 + len(regexp_extract_all(t1, '\bvalue\b')) AS BIGINT)
+         AS n_redactions
+FROM s1""",
+
+        "json_extract_agg": r"""SELECT event_type,
+  CAST(SUM(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))
+       AS BIGINT) AS sum_value,
+  CAST(COUNT(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))
+       AS BIGINT) AS n_rows
+FROM events GROUP BY event_type""",
 
         "token_count": """SELECT doc_id,
   len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
