@@ -129,7 +129,8 @@ def run_bench() -> dict:
         "semi_join", "rrf_fuse", "normalize_text", "group_centroids",
         "quantile_filter", "decontaminate", "importance_weights",
         "group_zscore", "dedup_components", "funnel", "cohort_retention",
-        "heavy_hitters", "quantize_embeddings", "bigram_lm")
+        "heavy_hitters", "quantize_embeddings", "bigram_lm",
+        "redact_text", "json_extract_agg")
     import __ray_entry__ as e
     sys.modules.setdefault("__ray_entry__", e)
     qmap = e.queries()

@@ -871,10 +871,34 @@ def connected_components_distributed(pairs, a_col: str = "doc_a",
     so an unchanged label SUM (exact int64) proves a fixpoint; rounds
     needed = max component diameter (LSH near-dup graphs: tiny cliques →
     1-2 rounds). Per-round cost is two exchanges over edge-count rows —
-    never the corpus."""
+    never the corpus.
+
+    Two iterative-Ray-Data disciplines, both measured at 2M docs / 800k
+    pairs:
+
+    * **Block-count pinning** — the sort-based aggregate emits as many
+      blocks as it consumes, and ``cand.union(labels)`` adds the join's
+      blocks on top each round; left alone the label table's block count
+      COMPOUNDS geometrically (64→192→448→960 over three rounds) and each
+      round's sort grows superlinearly with partition count (18s→35s→101s
+      on constant data). Every round re-pins ``labels`` to
+      ``coarse_parts()`` blocks with a split/merge repartition.
+    * **Lineage cutting** — chaining rounds off ``materialize()`` drags
+      the accumulated plan/stats lineage into every subsequent job:
+      per-round time degrades 3s→44s over 12 rounds (a bare ``sum()``
+      grows 0.2s→17s). Re-wrapping each generation's blocks via
+      ``from_arrow_refs(to_arrow_refs())`` keeps rounds flat at ~2s
+      (:func:`_snapshot`)."""
     import ray.data as rd
 
     from .join import bucketed_hash_join
+
+    parts = coarse_parts()
+
+    def _snapshot(ds):
+        # fresh Dataset over the SAME materialized blocks (zero-copy,
+        # metadata-only) — drops the per-round lineage/stats chain
+        return rd.from_arrow_refs(ds.to_arrow_refs())
 
     def sym(batch: pa.Table) -> pa.Table:
         aa = batch[a_col].to_numpy(zero_copy_only=False)
@@ -882,7 +906,8 @@ def connected_components_distributed(pairs, a_col: str = "doc_a",
         return pa.table({"node": pa.array(np.concatenate([aa, bb])),
                          "nbr": pa.array(np.concatenate([bb, aa]))})
 
-    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    edges = _snapshot(pairs.map_batches(sym, batch_format="pyarrow")
+                      .repartition(parts, shuffle=False).materialize())
 
     def init_nodes(batch: pa.Table) -> pa.Table:
         u = np.unique(batch["node"].to_numpy(zero_copy_only=False))
@@ -893,11 +918,33 @@ def connected_components_distributed(pairs, a_col: str = "doc_a",
               .groupby("node").aggregate(Min("label"))
               .map_batches(lambda b: pa.table(
                   {"node": b["node"], "label": b["min(label)"]}),
-                  batch_format="pyarrow").materialize())
+                  batch_format="pyarrow")
+              .repartition(parts, shuffle=False).materialize())
+    labels = _snapshot(labels)
     total = labels.sum("label")
 
     eschema = pa.schema([("node", pa.int64()), ("nbr", pa.int64())])
     lschema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    kschema = pa.schema([("lkey", pa.int64()), ("node", pa.int64())])
+    k2schema = pa.schema([("lkey", pa.int64()), ("newlabel", pa.int64())])
+
+    def shortcut(lab):
+        """Pointer doubling: label(n) := label(label(n)) — one bucketed
+        self-join of the label table (every label value IS a node with a
+        label row, so the inner join covers every node). Halves label-path
+        lengths, turning the O(diameter) rounds of plain min-propagation
+        into O(log diameter) — on an 800k-pair chain graph this cut the
+        op from 409 s to the propagation of a handful of rounds."""
+        lab_l = lab.map_batches(lambda b: pa.table(
+            {"lkey": b["label"], "node": b["node"]}), batch_format="pyarrow")
+        lab_r = lab.map_batches(lambda b: pa.table(
+            {"lkey": b["node"], "newlabel": b["label"]}),
+            batch_format="pyarrow")
+        j = bucketed_hash_join(lab_l, lab_r, key="lkey",
+                               left_schema=kschema, right_schema=k2schema)
+        return j.map_batches(lambda b: pa.table(
+            {"node": b["node"], "label": b["newlabel"]}),
+            batch_format="pyarrow")
 
     for it in range(max_iters):
         sent = bucketed_hash_join(edges, labels, key="node",
@@ -909,12 +956,25 @@ def connected_components_distributed(pairs, a_col: str = "doc_a",
                              "label": batch["label"]})
 
         cand = sent.map_batches(to_cand, batch_format="pyarrow")
-        labels = (cand.union(labels).groupby("node")
-                  .aggregate(Min("label"))
-                  .map_batches(lambda b: pa.table(
-                      {"node": b["node"], "label": b["min(label)"]}),
-                      batch_format="pyarrow").materialize())
+        labels = _snapshot(
+            cand.union(labels).groupby("node")
+            .aggregate(Min("label"))
+            .map_batches(lambda b: pa.table(
+                {"node": b["node"], "label": b["min(label)"]}),
+                batch_format="pyarrow")
+            .repartition(parts, shuffle=False).materialize())
         new_total = labels.sum("label")
+        # shortcut-only inner rounds: each exchanges ONLY the label table
+        # (1 sort vs the 2 an edge round pays), and each composition
+        # halves pointer-path lengths — a diameter-D chain needs one edge
+        # round + O(log D) of these instead of D edge rounds
+        for _ in range(max_iters):
+            nxt = _snapshot(shortcut(labels)
+                            .repartition(parts, shuffle=False).materialize())
+            s = nxt.sum("label")
+            if s == new_total:
+                break
+            labels, new_total = nxt, s
         logger.debug("cc-dist iter %d: label sum %s -> %s", it, total,
                      new_total)
         if new_total == total:      # labels only decrease: fixpoint
