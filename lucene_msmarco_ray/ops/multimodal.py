@@ -1,15 +1,18 @@
 """Multimodal column operators — image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-Image, audio AND video decode are REAL: PNG via stdlib zlib + numpy
-scanline unfiltering, 16-bit PCM WAV via stdlib ``wave``, and video via
-the MPNG container (MJPEG-style length-prefixed PNG frames; parse is
-O(index), only sampled frames are inflated) — all in ``ops.media_codec``,
-no external media library needed. ``fake=True`` keeps the deterministic
-payload-seeded stub for arbitrary-bytes tests. Standard containers
-(JPEG/MP4/H.264) genuinely need libraries absent from this environment;
-their kernels would drop into the same ``__call__`` without touching the
-pipeline shape.
+Image, audio AND video decode are REAL, with no external media library:
+PNG via stdlib zlib + numpy scanline unfiltering and baseline JPEG via a
+pure-numpy DCT/Huffman codec (``ops.jpeg``) — the image stage dispatches
+on payload magic; 16-bit PCM WAV via stdlib ``wave``; video via either
+the MPNG container (MJPEG-style length-prefixed PNG frames) or real
+ISO-BMFF MP4 box/sample-table parsing (``ops.bmff``: stts/stsz/stsc/stco)
+with PNG- or motion-JPEG-coded frames. All parses are O(container
+index): only the sampled frames' bytes are decoded. ``fake=True`` keeps
+the deterministic payload-seeded stub for arbitrary-bytes tests. The one
+genuinely library-bound gap left is H.264/HEVC entropy decode inside an
+``avc1``/``hev1`` MP4 — the container still parses; the frame decode
+raises with a clear error.
 
 Design notes for 100 TB: binary payloads make rows wide — callers should
 cap ``batch_size`` (default 32 here vs thousands for text) and keep
@@ -58,10 +61,14 @@ class ImageDecodeStage:
                  fake: bool = False):
         self.dim, self.resize, self.fake = dim, resize, fake
         if not fake:
-            # real kernel: stdlib PNG decode (ops.media_codec) — bind the
-            # functions once per actor so __call__ pays no import cost
+            # real kernels: PNG (ops.media_codec) / baseline JPEG
+            # (ops.jpeg), chosen per payload magic — bind the functions
+            # once per actor so __call__ pays no import cost
+            from .jpeg import decode_jpeg
             from .media_codec import decode_png, image_feature, resize_nearest
-            self._decode = decode_png
+            self._decode = lambda p: (decode_jpeg(p)
+                                      if p[:2] == b"\xff\xd8"
+                                      else decode_png(p))
             self._resize = resize_nearest
             self._feature = image_feature
 
@@ -123,10 +130,12 @@ class AudioFeatureStage:
 
 class VideoFrameSampleStage:
     """binary video → one row per sampled frame (media_id, frame_idx,
-    feature). Real mode parses the MPNG container (``ops.media_codec``:
-    MJPEG-style length-prefixed PNG frames), samples every ``stride_ms``
-    of source time, and decodes ONLY the sampled frames — ``frame_idx`` is
-    the source frame index. Fake mode keeps the payload-seeded stub for
+    feature). Real mode parses the container — MPNG (``ops.media_codec``)
+    or ISO-BMFF MP4 (``ops.bmff``, real stts/stsz/stsc/stco sample-table
+    walk) — samples every ``stride_ms`` of source time, and decodes ONLY
+    the sampled frames (PNG- or JPEG-coded; ``avc1``/``hev1`` raise —
+    H.264 decode needs a codec library). ``frame_idx`` is the source
+    frame index. Fake mode keeps the payload-seeded stub for
     arbitrary-bytes payloads (``frame_idx`` = 0..n-1 over ``duration_ms``).
     """
 
@@ -135,10 +144,34 @@ class VideoFrameSampleStage:
         self.dim, self.stride_ms, self.max_frames = dim, stride_ms, max_frames
         self.fake = fake
         if not fake:
+            from .bmff import parse_mp4
+            from .jpeg import decode_jpeg
             from .media_codec import decode_png, image_feature, parse_mpng
-            self._parse = parse_mpng
-            self._decode = decode_png
+            self._parse_mpng = parse_mpng
+            self._parse_mp4 = parse_mp4
             self._feature = image_feature
+            self._decode = lambda p: (decode_jpeg(p)
+                                      if p[:2] == b"\xff\xd8"
+                                      else decode_png(p))
+
+    def _sampled(self, payload: bytes):
+        """container bytes → [(frame_idx, offset, length)] at stride_ms."""
+        if payload[4:8] == b"ftyp":
+            codec, ts, spans = self._parse_mp4(payload)
+            if codec in (b"avc1", b"hev1", b"hvc1"):
+                raise NotImplementedError(
+                    f"{codec.decode()} frame decode needs a codec library; "
+                    "container parse succeeded")
+            out, next_ms = [], 0
+            for i, (t, span) in enumerate(zip(ts, spans)):
+                if t >= next_ms:
+                    out.append((i,) + span)
+                    next_ms = t + self.stride_ms
+            return out[:self.max_frames]
+        interval, spans = self._parse_mpng(payload)
+        stride = max(1, self.stride_ms // max(1, interval))
+        return [(i,) + spans[i]
+                for i in list(range(0, len(spans), stride))[:self.max_frames]]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, idxs, feats = [], [], []
@@ -156,10 +189,7 @@ class VideoFrameSampleStage:
                         _fake_vector(payload + i.to_bytes(4, "little"),
                                      self.dim).tolist())
                 continue
-            interval, spans = self._parse(payload)
-            stride = max(1, self.stride_ms // max(1, interval))
-            for i in list(range(0, len(spans), stride))[:self.max_frames]:
-                off, ln = spans[i]
+            for i, off, ln in self._sampled(payload):
                 img = self._decode(payload[off:off + ln])
                 ids.append(mid)
                 idxs.append(i)
@@ -191,23 +221,41 @@ def synth_media_table(n: int, seed: int = 3) -> pa.Table:
 
 
 def synth_real_media_table(n: int, seed: int = 3) -> pa.Table:
-    """Deterministic REAL media rows: PNG payloads (random pixels, per-row
-    filter types cycling 0-4 so every unfilter path runs) and 16-bit PCM
-    WAV payloads (sine + noise), and MPNG video payloads (random PNG
-    frames at 40 ms intervals). Same schema as ``synth_media_table``."""
-    from .media_codec import encode_png, encode_wav
+    """Deterministic REAL media rows covering every real decode path:
+    images alternate PNG (random pixels, per-row filter types cycling 0-4
+    so every unfilter path runs) and baseline JPEG (smooth gradients, odd
+    image rows, alternating 4:4:4 / 4:2:0); audio is 16-bit PCM WAV
+    (sine + noise); videos cycle MPNG, MP4(mpng frames) and
+    MP4(motion-JPEG frames) — the MP4s exercise the real ISO-BMFF
+    sample-table walk. Same schema as ``synth_media_table``."""
+    from .bmff import encode_mp4
+    from .jpeg import encode_jpeg
+    from .media_codec import encode_mpng, encode_png, encode_wav
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = {"media_id": [], "kind": [], "payload": [], "mime": [],
             "width": [], "height": [], "duration_ms": []}
+    img_i = vid_i = 0
     for i in range(n):
         kind = kinds[i % 3]
         if kind == "image":
             h = int(rng.integers(8, 48))
             w = int(rng.integers(8, 48))
-            ch = int(rng.choice([1, 2, 3, 4]))
-            img = rng.integers(0, 256, (h, w, ch), np.uint8)
-            payload = encode_png(img, filters=[y % 5 for y in range(h)])
+            if img_i % 2 == 0:
+                ch = int(rng.choice([1, 2, 3, 4]))
+                img = rng.integers(0, 256, (h, w, ch), np.uint8)
+                payload = encode_png(img, filters=[y % 5 for y in range(h)])
+                mime = "image/png"
+            else:
+                ch = 1 if img_i % 4 == 1 else 3
+                base = rng.integers(0, 128, (1, 1, ch))
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = ((base + yy[:, :, None] + 2 * xx[:, :, None]) % 256
+                       ).astype(np.uint8)
+                payload = encode_jpeg(img, quality=90,
+                                      subsample=(ch == 3 and img_i % 4 == 3))
+                mime = "image/jpeg"
+            img_i += 1
             width, height, dur = w, h, -1
         elif kind == "audio":
             rate = 8000
@@ -218,23 +266,32 @@ def synth_real_media_table(n: int, seed: int = 3) -> pa.Table:
                 + 0.1 * rng.standard_normal(t.size)
             payload = encode_wav(sig, rate)
             width = height = -1
+            mime = "audio/wav"
         else:
-            from .media_codec import encode_mpng
             nf = int(rng.integers(3, 11))
             h = int(rng.integers(8, 24))
             w = int(rng.integers(8, 24))
             interval = 40
             frames = [rng.integers(0, 256, (h, w, 3), np.uint8)
                       for _ in range(nf)]
-            payload = encode_mpng(frames, frame_interval_ms=interval,
-                                  filters=[y % 5 for y in range(h)])
+            style = vid_i % 3
+            if style == 0:
+                payload = encode_mpng(frames, frame_interval_ms=interval,
+                                      filters=[y % 5 for y in range(h)])
+            elif style == 1:
+                payload = encode_mp4([encode_png(f) for f in frames],
+                                     interval, w, h, codec=b"mpng")
+            else:
+                payload = encode_mp4([encode_jpeg(f, 90) for f in frames],
+                                     interval, w, h, codec=b"jpeg")
+            vid_i += 1
             width, height = w, h
             dur = nf * interval
+            mime = "video/mp4"
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
-        rows["mime"].append({"image": "image/png", "audio": "audio/wav",
-                             "video": "video/mp4"}[kind])
+        rows["mime"].append(mime)
         rows["width"].append(width)
         rows["height"].append(height)
         rows["duration_ms"].append(dur)

@@ -128,6 +128,7 @@ def test_image_feature_and_resize():
 def test_multimodal_real_pipeline(ray_session):
     import ray.data as rd
 
+    from lucene_msmarco_ray.ops.jpeg import decode_jpeg
     from lucene_msmarco_ray.ops.media_codec import (
         decode_png,
         image_feature,
@@ -139,11 +140,13 @@ def test_multimodal_real_pipeline(ray_session):
     img = decode_media(ds, "image", fake=False, concurrency=1).to_pandas()
     assert len(img) == 10
     # per-row: source dims reported, feature replayable from the payload
+    # (mixed-format table: dispatch on magic, like the stage does)
     pay = {m: p for m, p, k in zip(tbl["media_id"].to_pylist(),
                                    tbl["payload"].to_pylist(),
                                    tbl["kind"].to_pylist()) if k == "image"}
     for _, r in img.iterrows():
-        src = decode_png(pay[r["media_id"]])
+        raw = pay[r["media_id"]]
+        src = decode_jpeg(raw) if raw[:2] == b"\xff\xd8" else decode_png(raw)
         assert (r["height"], r["width"]) == src.shape[:2]
         want = image_feature(resize_nearest(src, (224, 224)), 64)
         assert np.allclose(np.array(r["feature"]), want)
