@@ -2259,6 +2259,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return extract_field_agg(ds, r'"k":\s*(?P<k>\d+)', "props",
                                  "event_type")
 
+    def tfidf_keywords_gate(sf_dir: str):
+        """Top-5 tf-idf keywords per doc: ONE vocabulary-bounded df
+        exchange + broadcast micro-idf; per-doc top-k is batch-local (a
+        doc is one row). Fixed-point idf = floor(ln(N/df)·1e6+0.5) so the
+        oracle replays scores exactly."""
+        from lucene_msmarco_ray.ops.textstats import tfidf_keywords
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
+        return tfidf_keywords(ds, k=5)
+
+    def time_deltas_gate(sf_dir: str):
+        """Per-user inter-arrival deltas (the lag-window primitive): one
+        coarse user-hash exchange, one vectorized lexsort+diff per
+        partition; ties broken by event_id like the oracle's lag() ORDER
+        BY (ts, event_id)."""
+        from lucene_msmarco_ray.ops.events import time_deltas
+        ds = _read16(sf_dir, "events.parquet",
+                     ["event_id", "user_id", "ts"])
+        return time_deltas(ds)
+
     def rm3_expand(sf_dir: str):
         from lucene_msmarco_ray.pipelines.feedback import expand_queries
         run = _rounded_run(sf_dir, "bm25", k1=0.7, b=0.3)
@@ -2314,6 +2333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_agg_chunked": cumulative_agg_chunked_gate,
         "redact_text": redact_text_gate,
         "json_extract_agg": json_extract_agg_gate,
+        "tfidf_keywords": tfidf_keywords_gate,
+        "time_deltas": time_deltas_gate,
         # (e) round-3 driver-green, most load-bearing first
         "bm25_topk": bm25_topk,
         "term_stats": term_stats,
@@ -2697,6 +2718,31 @@ FROM s1""",
   CAST(COUNT(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))
        AS BIGINT) AS n_rows
 FROM events GROUP BY event_type""",
+
+        # independent recomputation of tfidf_keywords: same fixed-point
+        # micro-idf convention (floor(ln(N/df)*1e6+0.5)), rank by
+        # (score DESC, term ASC) per doc — both total orders are strict
+        # because terms are distinct within a doc
+        "tfidf_keywords": """WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf,
+        tf.tf * floor(ln(n.n / df.df) * 1e6 + 0.5) / 1e6 AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn FROM s)
+SELECT doc_id, term, tf, score FROM r WHERE rn <= 5""",
+
+        "time_deltas": """SELECT event_id, user_id,
+  epoch_us(ts) AS ts_us,
+  COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id),
+           -1)::BIGINT AS delta_us
+FROM events""",
 
         "token_count": """SELECT doc_id,
   len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,

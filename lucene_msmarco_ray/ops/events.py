@@ -774,3 +774,50 @@ def cohort_retention(ds, period_seconds: int = 604_800,
             .groupby("__part").map_groups(offsets, batch_format="pandas")
             .groupby(["cohort", "offset"]).aggregate(Sum("n"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def time_deltas(ds, user_col: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id", hot_user_events: int = 5_000_000,
+                num_parts: int | None = None):
+    """Per-user inter-arrival deltas — the lag-window primitive for
+    behavioral / inter-event-time features → (event_id, user_id, ts_us,
+    delta_us) with ``delta_us = -1`` for a user's first event, else the
+    microseconds since that user's previous event ordered by
+    (ts, event_id) (event_id breaks timestamp ties deterministically,
+    like SQL ``lag() OVER (PARTITION BY user ORDER BY ts, event_id)``).
+
+    Composition: ONE coarse exchange co-locates each user's events
+    (hash(user) into :func:`coarse_parts` partitions), then one vectorized
+    lexsort + diff per partition — no per-user groups, no window shuffle.
+    Skew bound: one user's events must fit a task; ``hot_user_events``
+    enforces detection + logging via :func:`check_hot_users`, as in
+    sessionize."""
+    parts = np.uint64(coarse_parts(num_parts))
+
+    def part_of(batch: pa.Table) -> pa.Table:
+        u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "__part": pa.array((_mix64(u) % parts).astype(np.int64)),
+            "event_id": batch[id_col].cast(pa.int64()),
+            "user_id": batch[user_col].cast(pa.int64()),
+            "ts_us": pa.array(_ts_us(batch[ts_col])),
+        })
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        e = g["event_id"].to_numpy(np.int64)
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts_us"].to_numpy(np.int64)
+        uid, ucnt = np.unique(u, return_counts=True)
+        check_hot_users(uid, ucnt, hot_user_events)
+        order = np.lexsort((e, t, u))
+        e, u, t = e[order], u[order], t[order]
+        d = np.empty(t.size, np.int64)
+        if t.size:
+            d[0] = -1
+            d[1:] = np.where(u[1:] == u[:-1], t[1:] - t[:-1], -1)
+        return pd.DataFrame({"event_id": e, "user_id": u, "ts_us": t,
+                             "delta_us": d})
+
+    deltas.__name__ = "time_deltas"
+    return (ds.map_batches(part_of, batch_format="pyarrow")
+            .groupby("__part").map_groups(deltas, batch_format="pandas"))

@@ -749,3 +749,121 @@ def chunk_boundaries(ds, chunk_tokens: int = 64, text_col: str = "text",
             "n_tokens": pa.array(ntok.astype(np.int64))})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _df_micro_idf(ds, text_col: str):
+    """One exchange → (terms, micro_idf int64, N). Pass-1 partials are
+    batch-local distinct-(doc,term) counts (batch-vocabulary-sized) plus a
+    sentinel row (term='', df=docs-in-batch) so document count N rides the
+    same reduce; '' can never be a token (whitespace split drops empties).
+    ``micro_idf = floor(ln(N/df)·1e6 + 0.5)`` — the repo's fixed-point
+    log convention, replayed exactly by the SQL oracle."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat, counts = _flat_tokens(batch[text_col])
+        toks = flat.to_pandas()
+        codes, uniq = pd.factorize(toks)
+        doc_idx = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+        if len(uniq):
+            pair = doc_idx * np.int64(len(uniq)) + codes
+            upair = np.unique(pair)
+            dfp = np.bincount((upair % len(uniq)).astype(np.int64),
+                              minlength=len(uniq)).astype(np.int64)
+        else:
+            dfp = np.empty(0, np.int64)
+        terms = np.concatenate([uniq.to_numpy(dtype=object)
+                                if hasattr(uniq, "to_numpy")
+                                else np.asarray(uniq, object), [""]])
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array(np.concatenate([dfp, [counts.size]]))})
+
+    red = (ds.map_batches(df_partial, batch_format="pyarrow")
+           .groupby("term").aggregate(Sum("df")).to_pandas())
+    is_sent = red["term"] == ""
+    n_docs = int(red.loc[is_sent, "sum(df)"].iloc[0])
+    red = red[~is_sent]
+    terms = red["term"].to_numpy(dtype=object)
+    df = red["sum(df)"].to_numpy(np.float64)
+    micro = np.floor(np.log(n_docs / df) * 1e6 + 0.5).astype(np.int64)
+    return terms, micro, n_docs
+
+
+class _TfidfStage:
+    """Selects each doc's top-k tf-idf terms against the broadcast
+    (term → micro-idf) table; hash index builds once per actor. Docs are
+    single rows, so top-k needs NO exchange — one lexsort per batch."""
+
+    def __init__(self, bref, k: int):
+        import pandas as pd
+        import ray
+        terms, micro = ray.get(bref)
+        self.index = pd.Index(terms)
+        self.micro = micro
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        flat, counts = _flat_tokens(batch["__text"])
+        ids = batch["__id"].to_numpy(zero_copy_only=False)
+        toks = flat.to_pandas()
+        codes, uniq = pd.factorize(toks)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if not len(uniq):
+            return empty
+        doc_idx = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+        pair, tf = np.unique(doc_idx * np.int64(len(uniq)) + codes,
+                             return_counts=True)
+        udoc = (pair // len(uniq)).astype(np.int64)
+        ucode = (pair % len(uniq)).astype(np.int64)
+        uniq_arr = (uniq.to_numpy(dtype=object) if hasattr(uniq, "to_numpy")
+                    else np.asarray(uniq, object))
+        pos = self.index.get_indexer(pd.Index(uniq_arr))
+        # same corpus both passes → every term is known; guard regardless
+        micro_u = np.where(pos >= 0, self.micro[np.clip(pos, 0, None)], 0)
+        score_micro = tf.astype(np.int64) * micro_u[ucode]
+        terms_row = uniq_arr[ucode]
+        order = np.lexsort((terms_row, -score_micro, udoc))
+        udoc, tf = udoc[order], tf[order]
+        terms_row, score_micro = terms_row[order], score_micro[order]
+        seg = np.flatnonzero(np.concatenate(([True], udoc[1:] != udoc[:-1])))
+        rank = np.arange(udoc.size, dtype=np.int64) \
+            - np.repeat(seg, np.diff(np.append(seg, udoc.size)))
+        keep = rank < self.k
+        return pa.table({
+            "doc_id": pa.array(ids[udoc[keep]].astype(np.int64)),
+            "term": pa.array(terms_row[keep], pa.string()),
+            "tf": pa.array(tf[keep].astype(np.int64)),
+            "score": pa.array(score_micro[keep] / 1e6)})
+
+
+def tfidf_keywords(ds, k: int = 5, text_col: str = "text",
+                   id_col: str = "doc_id", concurrency=(1, 4)):
+    """Top-k tf-idf keywords per document → (doc_id, term, tf, score),
+    ``score = tf · floor(ln(N/df)·1e6+0.5)/1e6`` ranked per doc by
+    (score desc, term asc); empty docs yield no rows.
+
+    Two passes over the text, ONE vocabulary-bounded exchange: pass 1
+    reduces batch-local distinct-(doc,term) partials to the global (term,
+    df) table (+ N via a sentinel term), which is broadcast once via
+    ``ray.put``; pass 2 recomputes per-doc tf in-batch and ranks — a doc
+    is one row, so the top-k selection is batch-local and the scored
+    (doc, term) stream never crosses an exchange. Fixed-point micro-idf
+    keeps scores bit-stable under any partitioning and SQL-replayable."""
+    import ray
+
+    terms, micro, _n = _df_micro_idf(ds, text_col)
+    bref = ray.put((terms, micro))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"__id": batch[id_col].cast(pa.int64()),
+                         "__text": batch[text_col]})
+
+    return (ds.map_batches(project, batch_format="pyarrow")
+            .map_batches(_TfidfStage, fn_constructor_args=(bref, k),
+                         batch_format="pyarrow", concurrency=concurrency))

@@ -414,3 +414,57 @@ def test_funnel_cohort_forced_skew_detection(ray_session):
     ch = cohort_retention(ds, period_seconds=100_000,
                           hot_user_periods=2).to_pandas()
     assert int(ch[ch["offset"] == 0]["n_users"].sum()) == 3
+
+
+def test_time_deltas_vs_pandas_and_parallelism_invariance(ray_session):
+    """Deltas equal a pandas lag() replay; output is identical at 1 block
+    and 16 blocks; timestamp ties break by event_id."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.events import time_deltas
+    rng = np.random.default_rng(42)
+    n = 4000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 60, n),
+        # coarse second resolution forces (user, ts) ties -> event_id order
+        "ts": pd.to_datetime(rng.integers(0, 500, n), unit="s"),
+    })
+    want = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    want["ts_us"] = want["ts"].astype("int64") // 1000   # ns → µs
+    lagged = want.groupby("user_id")["ts_us"].shift()
+    want["delta_us"] = (want["ts_us"] - lagged).fillna(-1).astype(np.int64)
+    want = want[["event_id", "user_id", "ts_us", "delta_us"]] \
+        .sort_values("event_id").reset_index(drop=True)
+
+    outs = []
+    for nblocks in (1, 16):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        out = time_deltas(ds).to_pandas().sort_values("event_id") \
+            .reset_index(drop=True)
+        outs.append(out)
+        pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_time_deltas_forced_skew_detection(ray_session, caplog):
+    import logging
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.events import check_hot_users, time_deltas
+    rows = pd.DataFrame({
+        "event_id": np.arange(300, dtype=np.int64),
+        "user_id": np.where(np.arange(300) < 250, 5, 6),
+        "ts": pd.to_datetime(np.arange(300), unit="s"),
+    })
+    out = time_deltas(rd.from_pandas(rows), hot_user_events=100).to_pandas()
+    u5 = out[out["user_id"] == 5].sort_values("event_id")
+    assert (u5["delta_us"].to_numpy()[1:] == 1_000_000).all()
+    assert u5["delta_us"].iloc[0] == -1
+    flagged = check_hot_users(np.array([5, 6]), np.array([250, 50]), 100)
+    assert flagged == [(5, 250)]

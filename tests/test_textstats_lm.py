@@ -226,3 +226,52 @@ def test_chunk_boundaries_goldens(ray_session):
     assert out["chunk_id"].tolist() == [0, 1, 2, 0]
     assert out["tok_start"].tolist() == [1, 3, 5, 1]
     assert out["n_tokens"].tolist() == [2, 2, 1, 2]
+
+
+def test_tfidf_keywords_golden_and_parallelism(ray_session):
+    """Hand-computable corpus: scores equal tf*floor(ln(N/df)*1e6+0.5)/1e6,
+    ranking is (score desc, term asc), k caps per-doc rows, empty docs
+    vanish; identical output at 1 and 8 blocks."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.textstats import tfidf_keywords
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["apple apple banana",      # tf(apple)=2
+                 "apple cherry cherry date",
+                 "banana date date date",
+                 ""],                        # empty: no rows
+    })
+    N = 4.0
+    micro = {t: np.floor(np.log(N / d) * 1e6 + 0.5)
+             for t, d in {"apple": 2, "banana": 2, "cherry": 1,
+                          "date": 2}.items()}
+
+    def score(t, tf):
+        return tf * micro[t] / 1e6
+
+    outs = []
+    for nblocks in (1, 8):
+        ds = rd.from_pandas(docs).repartition(nblocks)
+        out = tfidf_keywords(ds, k=2).to_pandas() \
+            .sort_values(["doc_id", "score", "term"],
+                         ascending=[True, False, True]) \
+            .reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    assert out["doc_id"].tolist() == [0, 0, 1, 1, 2, 2]
+    # doc 0: apple tf2 beats banana tf1 (same df)
+    assert out.iloc[0][["term", "tf"]].tolist() == ["apple", 2]
+    assert out.iloc[0]["score"] == score("apple", 2)
+    # doc 1: cherry tf2 (df1) tops; apple vs date tie broken by score
+    assert out.iloc[2]["term"] == "cherry"
+    assert out.iloc[2]["score"] == score("cherry", 2)
+    # doc 2: date tf3 over banana
+    assert out.iloc[4][["term", "score"]].tolist() \
+        == ["date", score("date", 3)]
+    # k caps rows and no doc_id 3 anywhere
+    assert (out.groupby("doc_id").size() == 2).all()
+    assert 3 not in set(out["doc_id"])
