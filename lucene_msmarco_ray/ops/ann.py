@@ -74,7 +74,8 @@ class _BruteForceStage:
     """Per-batch cosine vs the broadcast query matrix → partial top-k rows.
 
     ``bucket_col``: when set (lsh_knn), a query only scores batch vectors
-    whose bucket equals the query's own bucket."""
+    whose bucket is in the query's probe set — a single own bucket
+    (``buckets``, 1-D) or a multiprobe set (``probes``, (nq, n_probe))."""
 
     def __init__(self, qref, k: int, id_col: str, vec_col: str,
                  bucket_col: str | None = None):
@@ -82,6 +83,7 @@ class _BruteForceStage:
         self.qids = q["qids"]
         self.qmat = _normalize(q["mat"])
         self.qbuckets = q.get("buckets")
+        self.qprobes = q.get("probes")
         self.k, self.id_col, self.vec_col = k, id_col, vec_col
         self.bucket_col = bucket_col
 
@@ -91,8 +93,12 @@ class _BruteForceStage:
         sims = self.qmat @ mat.T                      # (nq, nb)
         if self.bucket_col is not None:
             vb = batch[self.bucket_col].to_numpy(zero_copy_only=False)
-            sims = np.where(self.qbuckets[:, None] == vb[None, :],
-                            sims, -np.inf)
+            if self.qprobes is not None:
+                ok = (self.qprobes[:, :, None] == vb[None, None, :]) \
+                    .any(axis=1)                      # (nq, nb)
+            else:
+                ok = self.qbuckets[:, None] == vb[None, :]
+            sims = np.where(ok, sims, -np.inf)
         return _partial_topk(sims, ids, self.qids, self.k)
 
 
@@ -391,24 +397,43 @@ def lsh_buckets(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 def lsh_knn(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 10,
             nbits: int = 8, seed: int = 5, id_col: str = "vec_id",
-            vec_col: str = "embedding"):
-    """Approximate cosine top-k: each query probes ONLY its own LSH bucket.
-    Vectors outside every query's bucket are filtered before scoring.
-    Partitioning assumption: bucket sizes ≈ n/2^nbits; skewed data ⇒ pick
-    nbits so the hottest bucket still fits one group."""
+            vec_col: str = "embedding", multiprobe: int = 0):
+    """Approximate cosine top-k: each query probes its own LSH bucket plus
+    (``multiprobe`` > 0) the buckets reached by flipping the hash bits
+    with the smallest hyperplane margins — the standard multiprobe recall
+    lever (Lv et al., VLDB 2007): a near neighbor that lands across one
+    low-confidence hyperplane is recovered without adding hash tables.
+    Probe count = 1 + multiprobe (≤ nbits single-bit flips), so the scan
+    fraction is ~(1+multiprobe)/2^nbits. Vectors outside every query's
+    probe set are filtered before scoring. Partitioning assumption:
+    bucket sizes ≈ n/2^nbits; skewed data ⇒ pick nbits so the hottest
+    bucket still fits one group."""
     query_mat = np.asarray(query_mat, np.float64)
     planes = lsh_planes(nbits, query_mat.shape[1], seed)
     planes_ref = ray.put(planes)
     qbucket = lsh_buckets(query_mat, planes)
-    wanted = sorted(set(int(x) for x in qbucket))
+    qinfo = {"qids": np.asarray(query_ids, np.int64), "mat": query_mat}
+    if multiprobe > 0:
+        nflip = min(int(multiprobe), nbits)
+        # flip order: ascending |raw dot| — the bits most likely wrong
+        margins = np.abs(query_mat @ planes.T)        # (nq, nbits)
+        flip_bits = np.argsort(margins, kind="stable", axis=1)[:, :nflip]
+        probes = np.empty((qbucket.size, 1 + nflip), np.int64)
+        probes[:, 0] = qbucket
+        for j in range(nflip):
+            probes[:, 1 + j] = qbucket ^ (np.int64(1) << flip_bits[:, j])
+        qinfo["probes"] = probes
+        wanted = sorted({int(x) for x in probes.ravel()})
+    else:
+        qinfo["buckets"] = qbucket
+        wanted = sorted({int(x) for x in qbucket})
 
     bucketed = ds.map_batches(
         _LshStage, fn_constructor_kwargs=dict(
             planes_ref=planes_ref, id_col=id_col, vec_col=vec_col),
         batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5)
     probed = bucketed.filter(expr=f"bucket in {wanted}")
-    qref = ray.put({"qids": np.asarray(query_ids, np.int64),
-                    "mat": query_mat, "buckets": qbucket})
+    qref = ray.put(qinfo)
     partial = probed.map_batches(
         _BruteForceStage, fn_constructor_kwargs=dict(
             qref=qref, k=k, id_col=id_col, vec_col=vec_col,

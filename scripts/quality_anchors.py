@@ -44,11 +44,12 @@ def ann_recall(sf_dir: str, n_queries: int = 50) -> None:
                          f"scans ~{n_probe}/8 of corpus)",
                          lambda ds, a, b, k, p=n_probe:
                          ivf_knn(ds, a, b, k=k, n_probe=p)))
-    for nbits in (2, 4, 6):
-        variants.append((f"lsh (nbits={nbits}, single-probe, scans "
-                         f"~1/{1 << nbits} of corpus)",
-                         lambda ds, a, b, k, n=nbits:
-                         lsh_knn(ds, a, b, k=k, nbits=n)))
+    for nbits, mp in ((2, 0), (4, 0), (6, 0), (4, 2), (6, 3), (6, 6)):
+        probes = 1 + mp
+        variants.append((f"lsh (nbits={nbits}, multiprobe={mp}, scans "
+                         f"~{probes}/{1 << nbits} of corpus)",
+                         lambda ds, a, b, k, n=nbits, m=mp:
+                         lsh_knn(ds, a, b, k=k, nbits=n, multiprobe=m)))
     for label, fn in variants:
         _, approx = run(fn, label)
         hits = sum(len(approx.get(qid, set()) & truth[qid])

@@ -150,3 +150,51 @@ def test_lsh_knn_per_query_bucket(ray_session):
         assert (buckets[sub["vec_id"].to_numpy()] == buckets[q]).all()
     # the query vector itself (sim 1.0) is always in its own bucket → rank 1
     assert out[out["q_id"] == 0].iloc[0]["vec_id"] == 0
+
+
+def test_lsh_knn_multiprobe_recall_and_probe_membership(ray_session):
+    """Multiprobe results stay within each query's probe set (own bucket +
+    lowest-margin bit flips), recall vs brute force is monotone in probe
+    count, and probing every 1-bit flip recovers everything a Hamming-1
+    neighborhood can."""
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.ann import (
+        brute_force_knn,
+        lsh_buckets,
+        lsh_knn,
+        lsh_planes,
+    )
+    rng = np.random.default_rng(11)
+    m = rng.standard_normal((200, 16))
+    ds = rd.from_items([{"vec_id": i, "embedding": m[i].tolist()}
+                        for i in range(200)])
+    qsel = [0, 7, 19]
+    qids = np.array(qsel)
+    qmat = m[qsel]
+    nbits = 4
+    exact = brute_force_knn(rd.from_items(
+        [{"vec_id": i, "embedding": m[i].tolist()} for i in range(200)]),
+        qids, qmat, k=10).to_pandas()
+    truth = {q: set(g["vec_id"]) for q, g in exact.groupby("q_id")}
+
+    planes = lsh_planes(nbits, 16, seed=5)
+    buckets = lsh_buckets(m, planes)
+    margins = np.abs(qmat @ planes.T)
+
+    recalls = []
+    for mp in (0, 2, nbits):
+        out = lsh_knn(ds, qids, qmat, k=10, nbits=nbits, seed=5,
+                      multiprobe=mp).to_pandas()
+        for qi, q in enumerate(qsel):
+            sub = out[out["q_id"] == q]
+            flips = np.argsort(margins[qi], kind="stable")[:mp]
+            allowed = {int(buckets[q])} | {int(buckets[q] ^ (1 << b))
+                                           for b in flips}
+            assert set(buckets[sub["vec_id"].to_numpy()].tolist()) \
+                <= allowed
+        hits = sum(len(set(out[out["q_id"] == q]["vec_id"]) & truth[q])
+                   for q in qsel)
+        recalls.append(hits / sum(len(truth[q]) for q in qsel))
+    assert recalls[0] <= recalls[1] <= recalls[2]
+    assert recalls[2] > recalls[0]          # the lever actually moves
