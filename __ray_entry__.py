@@ -2259,6 +2259,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return extract_field_agg(ds, r'"k":\s*(?P<k>\d+)', "props",
                                  "event_type")
 
+    def bloom_semi_join_gate(sf_dir: str):
+        """Same rows as semi_join but through the Bloom pre-filter path
+        (distributed word-or-fold build -> broadcast bit set -> exact semi
+        join over the survivors); a deliberately small filter (m=4096 for
+        ~115 distinct urgent orderkeys at sf0.01) keeps a real
+        false-positive rate in play so the exactness contract is
+        exercised, not vacuous."""
+        from lucene_msmarco_ray.ops.join import bloom_semi_join
+        lcols = ["l_orderkey", "l_linenumber", "l_extendedprice"]
+        left = _read16(sf_dir, "lineitem.parquet", lcols)
+        right = _read16(sf_dir, "orders.parquet",
+                        ["o_orderkey", "o_orderpriority"]) \
+            .filter(expr="o_orderpriority == '1-URGENT'")
+        return bloom_semi_join(
+            left, right, key="l_orderkey", right_key="o_orderkey",
+            how="semi", m_bits=4096,
+            left_schema=_projected_schema(sf_dir, "lineitem.parquet", lcols))
+
     def tfidf_keywords_gate(sf_dir: str):
         """Top-5 tf-idf keywords per doc: ONE vocabulary-bounded df
         exchange + broadcast micro-idf; per-doc top-k is batch-local (a
@@ -2335,6 +2353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract_agg": json_extract_agg_gate,
         "tfidf_keywords": tfidf_keywords_gate,
         "time_deltas": time_deltas_gate,
+        "bloom_semi_join": bloom_semi_join_gate,
         # (e) round-3 driver-green, most load-bearing first
         "bm25_topk": bm25_topk,
         "term_stats": term_stats,
@@ -2621,6 +2640,14 @@ SELECT term, cf FROM cf, tot WHERE cf * 30 > total""",
 FROM documents""",
 
         "semi_join": """SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_orderpriority = '1-URGENT')""",
+
+        # the Bloom path must be output-identical to the plain semi join
+        "bloom_semi_join": """SELECT l_orderkey, l_linenumber,
+  l_extendedprice
 FROM lineitem l
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_orderkey = l.l_orderkey

@@ -187,3 +187,62 @@ def test_quantize_embeddings_goldens(ray_session):
     assert out["code"].tolist() == [-127, -127, 127, -127]
     # round-trip error bound: |v - (min + (code+127)*scale)| <= scale/2
     assert out["code"].between(-127, 127).all()
+
+
+def test_bloom_semi_join_matches_exact_even_with_tiny_filter(ray_session):
+    """Bloom pre-filter must be invisible in the OUTPUT: with a
+    deliberately tiny filter (m=64 bits for 300 keys — false positives
+    everywhere) both semi and anti equal the plain bucketed join; a
+    roomy filter too. Also proves no false negatives (the property the
+    anti path's free pass-through relies on)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.join import (
+        bloom_semi_join,
+        bucketed_semi_join,
+    )
+    rng = np.random.default_rng(9)
+    lk = rng.integers(0, 1000, 800)
+    rk = rng.integers(0, 1000, 300)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(lk, pa.int64()),
+        "row": pa.array(np.arange(800), pa.int64())})).repartition(8)
+    right = rd.from_arrow(pa.table({"rk": pa.array(rk, pa.int64())})) \
+        .repartition(4)
+    sch = pa.schema([pa.field("k", pa.int64()), pa.field("row", pa.int64())])
+
+    for how in ("semi", "anti"):
+        want = bucketed_semi_join(left, right, key="k", right_key="rk",
+                                  how=how, left_schema=sch).to_pandas() \
+            .sort_values("row").reset_index(drop=True)
+        for m_bits in (64, 1 << 14):
+            got = bloom_semi_join(left, right, key="k", right_key="rk",
+                                  how=how, m_bits=m_bits,
+                                  left_schema=sch).to_pandas() \
+                .sort_values("row").reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want)
+
+
+def test_bloom_filter_actually_prunes(ray_session):
+    """With a roomy filter and a selective right side, the Bloom stage
+    drops (almost) every non-matching left row before the exchange."""
+    import numpy as np
+    import ray
+
+    from lucene_msmarco_ray.ops.join import (
+        _bloom_positions,
+        _build_bloom,
+    )
+    import ray.data as rd
+    rk = np.arange(0, 50, dtype=np.int64)
+    right = rd.from_arrow(pa.table({"rk": pa.array(rk)}))
+    words = _build_bloom(right, "rk", m_bits=1 << 14, k_hashes=4)
+    probe = np.arange(0, 5000, dtype=np.int64)
+    pos = _bloom_positions(probe, 1 << 14, 4)
+    w = words.view(np.uint64)[(pos >> np.uint64(6)).astype(np.int64)]
+    hit = ((w >> (pos & np.uint64(63))) & np.uint64(1)).all(axis=0)
+    assert hit[:50].all()                      # no false negatives
+    fp = hit[50:].mean()
+    assert fp < 0.02                           # ~(1-e^{-kn/m})^k ≈ 1e-5 here
