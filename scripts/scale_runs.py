@@ -165,11 +165,39 @@ def run_search_topologies(files: list[str], n_docs: int,
     return out
 
 
+def run_tfidf(files: list[str], n_docs: int) -> dict:
+    """Part C: tfidf_keywords at N docs — the vocabulary-bounded-exchange
+    claim off gate-sized inputs (pass 1 reduces to the (term, df) table,
+    pass 2 never exchanges the scored stream)."""
+    from lucene_msmarco_ray.ops.textstats import _df_micro_idf, tfidf_keywords
+    from lucene_msmarco_ray.sources.corpus import read_code_corpus
+
+    out = {}
+    t0 = time.time()
+    terms, _micro, n = _df_micro_idf(
+        read_code_corpus(files, columns=["content"]), "content")
+    out["pass1_df_sec"] = round(time.time() - t0, 2)
+    out["vocab_terms"] = int(terms.size)
+    out["n_docs"] = int(n)
+
+    t0 = time.time()
+    res = tfidf_keywords(read_code_corpus(files, columns=["content"]),
+                         k=5, text_col="content", id_col="doc_id",
+                         concurrency=(1, 16))
+    out["rows"] = res.count()
+    # tfidf_keywords re-runs pass 1 internally, so this IS the full cost
+    out["total_sec"] = round(time.time() - t0, 2)
+    out["docs_per_sec"] = round(n_docs / out["total_sec"], 1)
+    out["peak_heap_mib"] = peak_heap_mib(res)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--queries", type=int, default=1000)
-    ap.add_argument("--part", default="AB", choices=["A", "B", "AB"])
+    ap.add_argument("--part", default="AB", choices=["A", "B", "AB", "C",
+                                                     "ABC"])
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -192,6 +220,8 @@ def main():
     if "B" in args.part:
         res["search"] = run_search_topologies(files, args.docs, args.queries,
                                               args.num_cpus)
+    if "C" in args.part:
+        res["tfidf"] = run_tfidf(files, args.docs)
     print(json.dumps(res))
     ray.shutdown()
 
