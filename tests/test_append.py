@@ -157,3 +157,52 @@ def test_append_requires_built_index(tmp_path, ray_session):
     with pytest.raises(ValueError, match="completed index"):
         append_documents(str(tmp_path / "nope"),
                          rd.from_items([{"doc_id": 0, "text": "x"}]))
+
+
+def test_append_chain_matches_full_build(ray_session, tmp_path_factory):
+    """Continuous-ingestion contract: THREE successive appends (distinct
+    pids/lineages, uneven delta sizes crossing salt-bucket boundaries)
+    end bit-identical to the one-shot build — postings, stats, and top-10
+    BM25 runs."""
+    d = tmp_path_factory.mktemp("chainsynth")
+    files = generate_corpus(400, seed=13, n_files=4, out_dir=str(d))
+    cfg = EngineConfig(analyzer="english", num_shards=4, block_size=32,
+                       salt_docs_per_bucket=150)
+    full_dir = str(tmp_path_factory.mktemp("cidx") / "full")
+    build_index(read_code_corpus(files), full_dir, cfg,
+                text_col="content", id_col="doc_id", key_col="doc_key")
+    app_dir = str(tmp_path_factory.mktemp("cidx") / "chained")
+    base = read_code_corpus(files).filter(expr="doc_id < 130")
+    build_index(base, app_dir, cfg, text_col="content", id_col="doc_id",
+                key_col="doc_key")
+    for i, (lo, hi) in enumerate([(130, 160), (160, 340), (340, 400)]):
+        delta = read_code_corpus(files).filter(
+            expr=f"doc_id >= {lo} and doc_id < {hi}")
+        append_documents(app_dir, delta, text_col="content",
+                         id_col="doc_id", key_col="doc_key",
+                         pid=f"delta{i}", input_lineage=f"chain-v{i}")
+
+    full_stats = json.load(open(os.path.join(full_dir, "stats.json")))
+    app_stats = json.load(open(os.path.join(app_dir, "stats.json")))
+    for k in ("num_docs", "total_len", "avgdl", "n_salt", "num_terms"):
+        assert app_stats[k] == full_stats[k], k
+    assert _term_table(full_dir).equals(_term_table(app_dir))
+
+    from collections import Counter
+
+    from lucene_msmarco_ray.analysis import get_analyzer
+    an = get_analyzer("english")
+    rf = IndexReader(full_dir, preload=True)
+    ra = IndexReader(app_dir, preload=True)
+    sc = BM25Scorer(k1=0.7, b=0.3)
+    matched = 0
+    for row in generate_queries(12, seed=3).to_pylist():
+        q = {t: float(c) for t, c in Counter(an(row["text"])).items()}
+        if not q:
+            continue
+        ids_f, s_f = score_query_taat(rf, q, 10, sc)
+        ids_a, s_a = score_query_taat(ra, q, 10, sc)
+        assert list(ids_f) == list(ids_a)
+        assert list(s_f) == list(s_a)     # bit-identical scores
+        matched += len(ids_f) > 0
+    assert matched >= 3
