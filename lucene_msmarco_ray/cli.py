@@ -59,6 +59,11 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--pid", default=None,
                    help="stable partition id for resumable appends")
 
+    k = sub.add_parser("compact", help="fold per-append posting runs back "
+                       "to one row per (term, shard, salt) — zero-decode "
+                       "concatenating merge, search-bit-identical")
+    k.add_argument("--index", required=True)
+
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
     s.add_argument("--queries", required=True, help="TSV qid\\ttext")
@@ -148,6 +153,12 @@ def main(argv: list[str] | None = None) -> int:
             key_col="doc_key", pid=args.pid,
             input_lineage=file_lineage(_expand(args.corpus)))
         print(json.dumps(stats))
+        ray.shutdown()
+
+    elif args.cmd == "compact":
+        ray = _init_ray(args.num_cpus)
+        from .index.compact import compact_index
+        print(json.dumps(compact_index(args.index)))
         ray.shutdown()
 
     elif args.cmd == "search":

@@ -150,6 +150,10 @@ def test_cli_append_matches_full_build(tmp_path, corpora):
     assert stats["num_docs"] == full["num_docs"]
     assert stats["total_len"] == full["total_len"]
     assert stats["num_terms"] == full["num_terms"]
+    r = cli("compact", "--index", idx)
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["rows_after"] <= summary["rows_before"]
 
 
 def test_append_requires_built_index(tmp_path, ray_session):
@@ -206,3 +210,85 @@ def test_append_chain_matches_full_build(ray_session, tmp_path_factory):
         assert list(s_f) == list(s_a)     # bit-identical scores
         matched += len(ids_f) > 0
     assert matched >= 3
+
+
+def test_compact_after_appends_is_bit_identical(ray_session,
+                                                tmp_path_factory):
+    """Compaction folds per-append posting runs to one row per (term,
+    shard, salt) with bit-identical search results, survives a simulated
+    crash between the renames, is idempotent, and later appends still
+    work on the compacted tree."""
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from collections import Counter
+
+    from lucene_msmarco_ray.analysis import get_analyzer
+    from lucene_msmarco_ray.index.compact import compact_index
+
+    d = tmp_path_factory.mktemp("compsynth")
+    files = generate_corpus(400, seed=21, n_files=4, out_dir=str(d))
+    cfg = EngineConfig(analyzer="english", num_shards=4, block_size=32,
+                       salt_docs_per_bucket=150)
+    idx = str(tmp_path_factory.mktemp("kidx") / "app")
+    base = read_code_corpus(files).filter(expr="doc_id < 200")
+    build_index(base, idx, cfg, text_col="content", id_col="doc_id",
+                key_col="doc_key")
+    # two appends; the first ends mid-salt-bucket so the second splices
+    # extra run files into an EXISTING salt dir (the fragmentation case)
+    for i, (lo, hi) in enumerate([(200, 280), (280, 400)]):
+        delta = read_code_corpus(files).filter(
+            expr=f"doc_id >= {lo} and doc_id < {hi}")
+        append_documents(idx, delta, text_col="content", id_col="doc_id",
+                         key_col="doc_key", pid=f"d{i}",
+                         input_lineage=f"k-v{i}")
+
+    an = get_analyzer("english")
+    sc = BM25Scorer(k1=0.7, b=0.3)
+
+    def runs(reader):
+        out = []
+        for row in generate_queries(10, seed=5).to_pylist():
+            q = {t: float(c) for t, c in Counter(an(row["text"])).items()}
+            if q:
+                out.append(score_query_taat(reader, q, 20, sc))
+        return out
+
+    before = runs(IndexReader(idx, preload=True))
+    seg = os.path.join(idx, "segments")
+    tbl = pads.dataset(seg, partitioning="hive") \
+        .to_table(columns=["term", "shard", "salt"])
+    n_rows_before = tbl.num_rows
+    n_unique = len({(r["term"], r["shard"], r["salt"])
+                    for r in tbl.to_pylist()})
+    assert n_rows_before > n_unique          # fragmentation actually exists
+
+    summary = compact_index(idx)
+    assert summary["rows_before"] == n_rows_before
+    assert summary["rows_after"] == n_unique
+    after = runs(IndexReader(idx, preload=True))
+    for (ib, sb), (ia, sa) in zip(before, after):
+        assert list(ib) == list(ia) and list(sb) == list(sa)
+
+    # idempotent
+    again = compact_index(idx)
+    assert again["rows_before"] == again["rows_after"] == n_unique
+
+    # crash recovery: segments moved away, backup left behind
+    shutil.move(seg, seg + ".pre-compact")
+    summary3 = compact_index(idx)
+    assert summary3["rows_after"] == n_unique
+    assert list(runs(IndexReader(idx, preload=True))[0][0]) \
+        == list(after[0][0])
+
+    # appends still work post-compaction (ids stay dense)
+    extra_dir = tmp_path_factory.mktemp("compsynth2")
+    efiles = generate_corpus(500, seed=21, n_files=4,
+                             out_dir=str(extra_dir))
+    tail = read_code_corpus(efiles).filter(expr="doc_id >= 400")
+    append_documents(idx, tail, text_col="content", id_col="doc_id",
+                     key_col="doc_key", pid="post", input_lineage="post-v1")
+    st = json.load(open(os.path.join(idx, "stats.json")))
+    assert st["num_docs"] == 500
+    assert runs(IndexReader(idx, preload=True))  # still searchable
