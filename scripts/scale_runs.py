@@ -192,12 +192,64 @@ def run_tfidf(files: list[str], n_docs: int) -> dict:
     return out
 
 
+def run_compaction(files: list[str], n_docs: int) -> dict:
+    """Part D: append fragmentation + compaction at N docs — build on 90%,
+    append the tail, compact; segment-row reduction, compact wall time,
+    and preload-time before/after (the read cost compaction pays down)."""
+    import pyarrow.dataset as pads
+
+    from lucene_msmarco_ray.config import EngineConfig
+    from lucene_msmarco_ray.index.append import append_documents
+    from lucene_msmarco_ray.index.build import build_index, file_lineage
+    from lucene_msmarco_ray.index.compact import compact_index
+    from lucene_msmarco_ray.search.searcher import IndexReader
+    from lucene_msmarco_ray.sources.corpus import read_code_corpus
+
+    out = {}
+    idx = f"/tmp/graft_scale_compact_{n_docs}"
+    shutil.rmtree(idx, ignore_errors=True)
+    cfg = EngineConfig(analyzer="english", num_shards=32, emit_fwd=False)
+    cut = int(n_docs * 0.9)
+    t0 = time.time()
+    build_index(read_code_corpus(files).filter(expr=f"doc_id < {cut}"),
+                idx, cfg, text_col="content", id_col="doc_id",
+                key_col="doc_key")
+    out["build_sec"] = round(time.time() - t0, 2)
+    # the realistic ingestion shape: MANY small appends, most landing
+    # INSIDE an existing salt bucket — each splices another per-term run
+    n_appends = 8
+    bounds = [cut + (n_docs - cut) * i // n_appends
+              for i in range(n_appends + 1)]
+    t0 = time.time()
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        append_documents(idx, read_code_corpus(files)
+                         .filter(expr=f"doc_id >= {lo} and doc_id < {hi}"),
+                         text_col="content", id_col="doc_id",
+                         key_col="doc_key", pid=f"tail{i}",
+                         input_lineage=f"{file_lineage(files)}-{i}")
+    out["append_sec"] = round(time.time() - t0, 2)
+    out["n_appends"] = n_appends
+
+    t0 = time.time()
+    IndexReader(idx, preload=True)
+    out["preload_before_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    summary = compact_index(idx)
+    out["compact_sec"] = round(time.time() - t0, 2)
+    out.update(summary)
+    t0 = time.time()
+    IndexReader(idx, preload=True)
+    out["preload_after_sec"] = round(time.time() - t0, 2)
+    shutil.rmtree(idx, ignore_errors=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--queries", type=int, default=1000)
     ap.add_argument("--part", default="AB", choices=["A", "B", "AB", "C",
-                                                     "ABC"])
+                                                     "ABC", "D", "ABCD"])
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -222,6 +274,8 @@ def main():
                                               args.num_cpus)
     if "C" in args.part:
         res["tfidf"] = run_tfidf(files, args.docs)
+    if "D" in args.part:
+        res["compaction"] = run_compaction(files, args.docs)
     print(json.dumps(res))
     ray.shutdown()
 
