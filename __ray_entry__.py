@@ -119,6 +119,39 @@ def _ensure_appended_index(sf_dir: str) -> str:
     return out
 
 
+def _ensure_compacted_index(sf_dir: str) -> str:
+    """Gate index built incrementally (as `_ensure_appended_index`, its
+    own directory) and then COMPACTED — `compact_index` folds the
+    append's per-term posting runs back to one row per (term, shard,
+    salt); the read-back must still equal the full-corpus oracle."""
+    key = sf_dir + "#compacted"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from lucene_msmarco_ray.config import EngineConfig
+    from lucene_msmarco_ray.index.append import append_documents
+    from lucene_msmarco_ray.index.build import build_index, file_lineage
+    from lucene_msmarco_ray.index.compact import compact_index
+    out = _index_dir_for(sf_dir) + "_compacted"
+    src = os.path.join(sf_dir, "documents.parquet")
+    half = _pq.read_metadata(src).num_rows // 2
+    cfg = EngineConfig(analyzer="simple", num_shards=8)
+    lin = file_lineage([src])
+    base = rd.read_parquet(src, columns=["doc_id", "text"]) \
+        .filter(expr=f"doc_id < {half}")
+    build_index(base, out, cfg, text_col="text", id_col="doc_id",
+                input_lineage=lin + f"#base<{half}")
+    rest = rd.read_parquet(src, columns=["doc_id", "text"]) \
+        .filter(expr=f"doc_id >= {half}")
+    append_documents(out, rest, text_col="text", id_col="doc_id",
+                     pid="rest", input_lineage=lin + f"#rest>={half}")
+    compact_index(out)
+    _INDEX_CACHE[key] = out
+    return out
+
+
 def _ensure_salted_index(sf_dir: str) -> str:
     """Gate index variant with small doc-range salt buckets so the
     doc-partitioned sharded search path has REAL shards to exercise
@@ -1308,6 +1341,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
         return t.rename_columns(["term", "df", "cf"]).sort_by("term")
 
+    def index_compact(sf_dir: str):
+        """Build + append + COMPACT (index/compact.py zero-decode
+        concatenating merge) read back as per-term df/cf — must still
+        equal the full-corpus term-stats oracle, proving the fold
+        changed layout, not content."""
+        idx = _ensure_compacted_index(sf_dir)
+        t = pads.dataset(os.path.join(idx, "segments")).to_table(
+            columns=["term", "df", "cf"]) \
+            .group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+        return t.rename_columns(["term", "df", "cf"]).sort_by("term")
+
     def doc_stats(sf_dir: str):
         idx = _ensure_index(sf_dir)
         base = os.path.join(idx, "staged")
@@ -2354,6 +2398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": tfidf_keywords_gate,
         "time_deltas": time_deltas_gate,
         "bloom_semi_join": bloom_semi_join_gate,
+        "index_compact": index_compact,
         # (e) round-3 driver-green, most load-bearing first
         "bm25_topk": bm25_topk,
         "term_stats": term_stats,
@@ -2426,6 +2471,10 @@ FROM toks2 GROUP BY term""",
 
         # the appended index must reproduce the FULL corpus term stats
         "index_append": f"""WITH {_TOKS}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM toks2 GROUP BY term""",
+
+        "index_compact": f"""WITH {_TOKS}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
 FROM toks2 GROUP BY term""",
 
