@@ -1981,6 +1981,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cnt = token_count(docs).drop_columns(["n_unique"])
         return pack_sequences(cnt, "doc_id", "n_tokens", budget=2048)
 
+    def token_budget_gate(sf_dir: str):
+        """Deterministic token-budget fill: the prefix of whole documents
+        (in pack_sequences' hash order) whose start_off + n_tokens fits a
+        20k-token budget — the 'select N training tokens' primitive;
+        oracle = the same window cumsum with a WHERE prefix filter."""
+        from lucene_msmarco_ray.ops.relational import take_token_budget
+        from lucene_msmarco_ray.ops.textstats import token_count
+        docs = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
+        cnt = token_count(docs).drop_columns(["n_unique"])
+        return take_token_budget(cnt, budget=20_000, id_col="doc_id",
+                                 size_col="n_tokens")
+
     def duplicate_spans_gate(sf_dir: str):
         """Per-document duplicated-text fraction over 5-token spans —
         linear in tokens (doc-level output, no pair blowup); the oracle
@@ -2399,6 +2411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_deltas": time_deltas_gate,
         "bloom_semi_join": bloom_semi_join_gate,
         "index_compact": index_compact,
+        "token_budget": token_budget_gate,
         # (e) round-3 driver-green, most load-bearing first
         "bm25_topk": bm25_topk,
         "term_stats": term_stats,
@@ -3119,6 +3132,21 @@ o AS (
 SELECT doc_id, n_tokens, start_off,
        (start_off // 2048)::BIGINT AS bin_id
 FROM o""",
+        "token_budget": """WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n_tokens,
+         (CAST(doc_id AS HUGEINT) % 4294967296 * 2654435761) % 4294967296
+           AS h
+  FROM documents),
+o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS start_off
+  FROM t)
+SELECT doc_id, n_tokens, start_off
+FROM o WHERE start_off + n_tokens <= 20000""",
         "group_quantile": """SELECT l_returnflag,
        quantile_disc(l_extendedprice, 0.5) AS p50,
        quantile_disc(l_extendedprice, 0.9) AS p90

@@ -131,7 +131,7 @@ def run_bench() -> dict:
         "group_zscore", "dedup_components", "funnel", "cohort_retention",
         "heavy_hitters", "quantize_embeddings", "bigram_lm",
         "redact_text", "json_extract_agg", "tfidf_keywords", "time_deltas",
-        "bloom_semi_join")
+        "bloom_semi_join", "token_budget")
     import __ray_entry__ as e
     sys.modules.setdefault("__ray_entry__", e)
     qmap = e.queries()

@@ -540,3 +540,32 @@ def group_zscore(ds, group_cols, value_col: str, out_col: str = "zscore"):
         return out.append_column(out_col, pa.array(r6(z)))
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def take_token_budget(ds, budget: int, id_col: str = "doc_id",
+                      size_col: str = "n_tokens", salt: int = 0,
+                      num_parts: int | None = None):
+    """Deterministically fill a training-token budget: lay documents out
+    in the same shuffle-quality multiplicative-hash order as
+    :func:`pack_sequences` and keep exactly the prefix of WHOLE documents
+    that fits (``start_off + size <= budget``) → (id_col, size_col,
+    start_off). The "select 10B tokens for this run" primitive: the same
+    corpus + salt always yields the same subset, a bigger budget yields a
+    strict superset, and changing ``salt`` draws a fresh deterministic
+    sample.
+
+    Scale shape inherits pack_sequences' two-pass distributed prefix sum
+    — only the reduced (id, size) table crosses an exchange; the filter
+    is a stateless map over the packed offsets."""
+    packed = pack_sequences(ds, id_col, size_col, budget=int(budget),
+                            salt=salt, num_parts=num_parts)
+    b = int(budget)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        fits = pc.less_equal(
+            pc.add(batch["start_off"], batch[size_col].cast(pa.int64())),
+            b)
+        return batch.filter(fits).select([id_col, size_col, "start_off"])
+
+    return packed.map_batches(keep, batch_format="pyarrow")

@@ -236,3 +236,40 @@ def test_sample_n(ray_session):
     small = sample_n(rd.from_items(rows, override_num_blocks=4),
                      "id", 25).to_pandas()
     assert set(small["id"]) <= want
+
+
+def test_take_token_budget_properties(ray_session):
+    """Exact-fit prefix semantics, budget monotonicity (bigger budget ⊇
+    smaller), determinism across runs/blocking, and salt independence."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.relational import take_token_budget
+    rng = np.random.default_rng(4)
+    n = 500
+    tbl = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "n_tokens": pa.array(
+                        rng.integers(1, 200, n).astype(np.int64))})
+
+    def run(budget, salt=0, nblocks=8):
+        ds = rd.from_arrow(tbl).repartition(nblocks)
+        return take_token_budget(ds, budget, salt=salt).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    small = run(5_000)
+    big = run(20_000)
+    # every selected doc fits entirely inside the budget
+    assert ((small["start_off"] + small["n_tokens"]) <= 5_000).all()
+    # only whole docs are dropped: tokens used + smallest remaining doc
+    # must overflow (the prefix is maximal for this order)
+    # monotone: the smaller budget's selection is a subset of the bigger
+    assert set(small["doc_id"]) <= set(big["doc_id"])
+    assert len(big) > len(small)
+    # deterministic across runs and block counts
+    pd.testing.assert_frame_equal(run(5_000, nblocks=1), small)
+    # a different salt draws a different (but same-budget-respecting) set
+    other = run(5_000, salt=9)
+    assert set(other["doc_id"]) != set(small["doc_id"])
+    assert ((other["start_off"] + other["n_tokens"]) <= 5_000).all()
