@@ -114,8 +114,16 @@ def run_bench() -> dict:
              concurrency=search_conc, batch_size=16, preload=True).count()
     t5 = time.time() - t0
     nq = qtbl.num_rows
-    steady_qps = 4 * nq / max(t5 - t1, 1e-3)
-    spinup = max(t1 - nq / steady_qps, 0.0)
+    if t5 > t1 * 1.02:
+        steady_qps = 4 * nq / (t5 - t1)
+        spinup = max(t1 - nq / steady_qps, 0.0)
+    else:
+        # host variance inverted the two-point pair (the 5x run was not
+        # measurably slower than the 1x run) — the fit is invalid; fall
+        # back to the amortized 5x rate, a LOWER bound on steady state,
+        # and report no spin-up estimate rather than a nonsense one
+        steady_qps = 5 * nq / t5
+        spinup = 0.0
 
     # gate pipelines over the sf dir (skipped in scaling legs: the scaling
     # metric is corpus build+search throughput on identical input)
