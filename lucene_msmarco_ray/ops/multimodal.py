@@ -45,6 +45,37 @@ def _fake_vector(payload: bytes, dim: int) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
+#: web-scale corpora contain corrupt payloads; a decode stage must choose
+#: a policy, not die. "raise" = propagate (tests, trusted data); "skip" =
+#: drop the row and log a rate-limited warning (the 100-TB default —
+#: losing one bad image beats losing the job).
+_ERROR_POLICIES = ("raise", "skip")
+
+
+def _check_policy(on_error: str) -> None:
+    if on_error not in _ERROR_POLICIES:
+        raise ValueError(f"on_error must be one of {_ERROR_POLICIES}, "
+                         f"got {on_error!r}")
+
+
+class _SkipCounter:
+    """Per-actor rate-limited corrupt-payload logging (first 5, then every
+    1000th) — unbounded per-row warnings would melt the log volume."""
+
+    def __init__(self, what: str):
+        import logging
+        self.log = logging.getLogger(__name__)
+        self.what = what
+        self.n = 0
+
+    def hit(self, media_id, err: Exception) -> None:
+        self.n += 1
+        if self.n <= 5 or self.n % 1000 == 0:
+            self.log.warning("%s decode failed for media_id=%s (%d skipped "
+                             "so far by this actor): %s", self.what,
+                             media_id, self.n, err)
+
+
 class ImageDecodeStage:
     """binary image → (media_id, width, height, feature:list<float32>[dim]).
     Real mode decodes PNG, reports SOURCE dims, and features the
@@ -54,12 +85,16 @@ class ImageDecodeStage:
     Actor-pool stage: the decoder/model load belongs in ``__init__`` (once
     per actor); per-batch work in ``__call__``. Use with
     ``map_batches(ImageDecodeStage, fn_constructor_kwargs=..., batch_size=32,
-    concurrency=N)``.
+    concurrency=N)``. ``on_error="skip"`` drops undecodable payloads with
+    rate-limited logging instead of failing the task.
     """
 
     def __init__(self, dim: int = 64, resize: tuple[int, int] = (224, 224),
-                 fake: bool = False):
+                 fake: bool = False, on_error: str = "raise"):
+        _check_policy(on_error)
         self.dim, self.resize, self.fake = dim, resize, fake
+        self.on_error = on_error
+        self._skips = _SkipCounter("image")
         if not fake:
             # real kernels: PNG (ops.media_codec) / baseline JPEG
             # (ops.jpeg), chosen per payload magic — bind the functions
@@ -74,21 +109,30 @@ class ImageDecodeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        ids = batch["media_id"].to_pylist()
         if self.fake:
             feats = [_fake_vector(p, self.dim)
                      for p in batch["payload"].to_pylist()]
             widths = [self.resize[0]] * n
             heights = [self.resize[1]] * n
         else:
-            feats, widths, heights = [], [], []
-            for p in batch["payload"].to_pylist():
-                img = self._decode(p)
+            ids_out, feats, widths, heights = [], [], [], []
+            for mid, p in zip(ids, batch["payload"].to_pylist()):
+                try:
+                    img = self._decode(p)
+                except Exception as e:
+                    if self.on_error == "raise":
+                        raise
+                    self._skips.hit(mid, e)
+                    continue
+                ids_out.append(mid)
                 heights.append(img.shape[0])
                 widths.append(img.shape[1])
                 feats.append(self._feature(self._resize(img, self.resize),
                                            self.dim))
+            ids = ids_out
         return pa.table({
-            "media_id": batch["media_id"],
+            "media_id": pa.array(ids, pa.int64()),
             "width": pa.array(widths, pa.int32()),
             "height": pa.array(heights, pa.int32()),
             "feature": pa.array([f.tolist() for f in feats],
@@ -97,10 +141,15 @@ class ImageDecodeStage:
 
 
 class AudioFeatureStage:
-    """binary audio → (media_id, n_frames, feature)."""
+    """binary audio → (media_id, n_frames, feature). ``on_error="skip"``
+    drops undecodable payloads with rate-limited logging."""
 
-    def __init__(self, dim: int = 32, frame_ms: int = 25, fake: bool = False):
+    def __init__(self, dim: int = 32, frame_ms: int = 25, fake: bool = False,
+                 on_error: str = "raise"):
+        _check_policy(on_error)
         self.dim, self.frame_ms, self.fake = dim, frame_ms, fake
+        self.on_error = on_error
+        self._skips = _SkipCounter("audio")
         if not fake:
             from .media_codec import audio_feature, decode_wav
             self._decode = decode_wav
@@ -108,20 +157,29 @@ class AudioFeatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
+        ids = batch["media_id"].to_pylist()
         if self.fake:
             durations = batch["duration_ms"].to_pylist()
             n_frames = [max(1, (d if d and d > 0 else 1000) // self.frame_ms)
                         for d in durations]
             feats = [_fake_vector(p, self.dim) for p in payloads]
         else:
-            n_frames, feats = [], []
-            for p in payloads:
-                samples, rate = self._decode(p)
+            ids_out, n_frames, feats = [], [], []
+            for mid, p in zip(ids, payloads):
+                try:
+                    samples, rate = self._decode(p)
+                except Exception as e:
+                    if self.on_error == "raise":
+                        raise
+                    self._skips.hit(mid, e)
+                    continue
                 frame_len = max(1, rate * self.frame_ms // 1000)
+                ids_out.append(mid)
                 n_frames.append(max(1, samples.size // frame_len))
                 feats.append(self._feature(samples, self.dim))
+            ids = ids_out
         return pa.table({
-            "media_id": batch["media_id"],
+            "media_id": pa.array(ids, pa.int64()),
             "n_frames": pa.array(n_frames, pa.int32()),
             "feature": pa.array([f.tolist() for f in feats],
                                 pa.list_(pa.float32())),
@@ -137,12 +195,19 @@ class VideoFrameSampleStage:
     H.264 decode needs a codec library). ``frame_idx`` is the source
     frame index. Fake mode keeps the payload-seeded stub for
     arbitrary-bytes payloads (``frame_idx`` = 0..n-1 over ``duration_ms``).
+    ``on_error="skip"`` drops a video whose container parse or sampled
+    frame decode fails (whole payload, not frame-by-frame — a corrupt
+    container's other offsets are untrustworthy), with rate-limited logs.
     """
 
     def __init__(self, dim: int = 64, stride_ms: int = 1000,
-                 max_frames: int = 16, fake: bool = False):
+                 max_frames: int = 16, fake: bool = False,
+                 on_error: str = "raise"):
+        _check_policy(on_error)
         self.dim, self.stride_ms, self.max_frames = dim, stride_ms, max_frames
         self.fake = fake
+        self.on_error = on_error
+        self._skips = _SkipCounter("video")
         if not fake:
             from .bmff import parse_mp4
             from .jpeg import decode_jpeg
@@ -189,8 +254,15 @@ class VideoFrameSampleStage:
                         _fake_vector(payload + i.to_bytes(4, "little"),
                                      self.dim).tolist())
                 continue
-            for i, off, ln in self._sampled(payload):
-                img = self._decode(payload[off:off + ln])
+            try:
+                rows = [(i, self._decode(payload[off:off + ln]))
+                        for i, off, ln in self._sampled(payload)]
+            except Exception as e:
+                if self.on_error == "raise":
+                    raise
+                self._skips.hit(mid, e)
+                continue
+            for i, img in rows:
                 ids.append(mid)
                 idxs.append(i)
                 feats.append(self._feature(img, self.dim).tolist())

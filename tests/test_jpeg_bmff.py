@@ -219,3 +219,41 @@ def test_real_media_table_mixes_formats():
             magics.append("mp4")
     assert "jpeg" in magics and "png" in magics and "mp4" in magics
     assert mimes["image"] == {"image/png", "image/jpeg"}
+
+
+def test_decode_stages_skip_policy(ray_session):
+    """A corrupt payload mixed into every modality: on_error='skip' drops
+    exactly the bad rows and keeps the good ones; the default ('raise')
+    propagates; a bad policy string rejects at construction."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.media_codec import encode_mpng, encode_wav
+    from lucene_msmarco_ray.ops.multimodal import (
+        MEDIA_SCHEMA,
+        ImageDecodeStage,
+        decode_media,
+        synth_real_media_table,
+    )
+    good = synth_real_media_table(9)
+    junk = b"\xff\xd8 this is not a real jpeg at all"
+    bad_rows = pa.Table.from_pydict({
+        "media_id": [100, 101, 102],
+        "kind": ["image", "audio", "video"],
+        "payload": [junk, b"RIFFgarbage", b"\x00\x00\x00\x10ftypgarbage"],
+        "mime": ["image/jpeg", "audio/wav", "video/mp4"],
+        "width": [8, -1, 8], "height": [8, -1, 8],
+        "duration_ms": [-1, 100, 100]}, schema=MEDIA_SCHEMA)
+    tbl = pa.concat_tables([good, bad_rows])
+    ds = rd.from_arrow(tbl)
+    n_good = {"image": 3, "audio": 3, "video": 3}
+    for kind in ("image", "audio", "video"):
+        out = decode_media(ds, kind, fake=False, concurrency=1,
+                           on_error="skip").to_pandas()
+        assert 100 + ["image", "audio", "video"].index(kind) \
+            not in set(out["media_id"])
+        assert len(set(out["media_id"])) == n_good[kind]
+        with pytest.raises(Exception):
+            decode_media(ds, kind, fake=False, concurrency=1).to_pandas()
+    with pytest.raises(ValueError, match="on_error"):
+        ImageDecodeStage(on_error="ignore")
