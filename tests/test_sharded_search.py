@@ -67,3 +67,52 @@ def test_sharded_topk_cut_is_global(salted_index):
                                       k=7, k1=0.7, b=0.3).to_pandas())
     assert len(sharded) == 7
     pd.testing.assert_frame_equal(single, sharded)
+
+
+def test_searcher_pool_matches_retrieve_and_reuses(ray_session,
+                                                   tmp_path_factory):
+    """The persistent serving pool returns BIT-identical runs to the
+    Dataset retrieve() path, answers a second query set on the same
+    (warm) actors, caps in-flight futures, and shuts down cleanly."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from lucene_msmarco_ray.config import EngineConfig
+    from lucene_msmarco_ray.index.build import build_index
+    from lucene_msmarco_ray.search.searcher import retrieve
+    from lucene_msmarco_ray.search.service import SearcherPool
+    from lucene_msmarco_ray.sources.corpus import read_code_corpus
+    from lucene_msmarco_ray.synth import generate_corpus, generate_queries
+
+    d = tmp_path_factory.mktemp("svc")
+    files = generate_corpus(300, seed=17, n_files=2, out_dir=str(d))
+    idx = str(tmp_path_factory.mktemp("svcidx") / "idx")
+    build_index(read_code_corpus(files), idx,
+                EngineConfig(analyzer="english", num_shards=4),
+                text_col="content", id_col="doc_id", key_col="doc_key")
+
+    qtbl = generate_queries(40, seed=11)
+    want = retrieve(rd.from_arrow(qtbl), idx, scorer="bm25", k=20,
+                    k1=0.7, b=0.3, concurrency=2,
+                    preload=True).to_pandas() \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+
+    pool = SearcherPool(idx, n_actors=2, scorer="bm25", k=20,
+                        num_cpus=0.5, k1=0.7, b=0.3)
+    try:
+        got = pool.query(qtbl, batch_size=7).to_pandas() \
+            .sort_values(["qid", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)   # bit-identical scores
+        # same pool, different query set (the serving case)
+        q2 = generate_queries(25, seed=23)
+        want2 = retrieve(rd.from_arrow(q2), idx, scorer="bm25", k=20,
+                         k1=0.7, b=0.3, concurrency=2,
+                         preload=True).to_pandas() \
+            .sort_values(["qid", "rank"]).reset_index(drop=True)
+        got2 = pool.query(q2, batch_size=3, inflight_per_actor=1) \
+            .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got2, want2)
+    finally:
+        pool.shutdown()
+    assert pool.actors == []
