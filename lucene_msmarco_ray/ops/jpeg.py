@@ -376,6 +376,11 @@ class _BitReader:
     def read(self, n: int) -> int:
         if n == 0:
             return 0
+        if n > 16:
+            # no legal baseline read exceeds 16 bits (max magnitude
+            # category); a corrupt DHT can otherwise yield a "category"
+            # the accumulator can never satisfy → infinite loop
+            raise ValueError(f"invalid {n}-bit read in JPEG stream")
         while self.nbits < n:
             if not self._fill() and self.nbits < n:
                 # spec: pad past the end with 1-bits (EOB padding)
@@ -492,8 +497,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or h < 1 or w < 1:
+        raise ValueError("invalid JPEG frame geometry")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    # corrupt-header guard: a mutated SOF can declare absurd dimensions and
+    # the MCU walk would then spin for minutes on end-of-stream 1-padding.
+    # Every coded block costs >= 6 bits (shortest DC code + EOB); require
+    # the entropy segment to be at least plausibly long enough, so decode
+    # work stays proportional to the actual payload.
+    total_blocks = sum(mcux * mcuy * hs * vs for _, hs, vs, _ in comps)
+    if (len(payload) - pos) * 8 < total_blocks * 4:
+        raise ValueError(
+            "JPEG entropy stream too short for the declared dimensions "
+            f"({total_blocks} blocks, {len(payload) - pos} bytes left)")
     # per component: plane of quantized coefficient blocks
     planes = []
     for cid, hs, vs, tq in comps:
