@@ -298,3 +298,29 @@ def test_mp4_parser_survives_mutated_payloads():
             assert len(ts) == len(spans)
         except Exception:
             pass
+
+
+def test_png_mpng_wav_parsers_survive_mutations():
+    """Same mutation fuzz for the other pure parsers: decode or raise
+    cleanly, bounded time."""
+    from lucene_msmarco_ray.ops.media_codec import (
+        decode_wav,
+        encode_mpng,
+        encode_wav,
+        parse_mpng,
+    )
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    png = bytearray(encode_png(img, filters=[y % 5 for y in range(16)]))
+    mpng = bytearray(encode_mpng([img, img], frame_interval_ms=40))
+    wav = bytearray(encode_wav(np.sin(np.arange(800) / 20.0), 8000))
+    for payload, fn, lo in ((png, decode_png, 8), (mpng, parse_mpng, 4),
+                            (wav, decode_wav, 4)):
+        for _ in range(150):
+            q = bytearray(payload)
+            pos = int(rng.integers(lo, len(q)))
+            q[pos] = int(rng.integers(0, 256))
+            try:
+                fn(bytes(q))
+            except Exception:
+                pass
