@@ -92,8 +92,6 @@ def encode_mp4(frames: list[bytes], frame_interval_ms: int = 40,
 
 # ------------------------------------------------------------------ parse
 
-_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
-
 
 def _boxes(data: bytes, start: int, end: int):
     """Yield (type, body_start, body_end) for sibling boxes in a span."""
@@ -114,14 +112,38 @@ def _boxes(data: bytes, start: int, end: int):
 
 
 def _collect(data: bytes, start: int, end: int, found: dict) -> None:
+    """Collect sample-table boxes within ONE trak (or mdia/minf/stbl)
+    subtree — never called across trak boundaries, so tables from
+    different tracks can't mix."""
     for btype, body, bend in _boxes(data, start, end):
-        if btype in _CONTAINERS:
+        if btype in (b"mdia", b"minf", b"stbl"):
             _collect(data, body, bend, found)
         elif btype in (b"stts", b"stsz", b"stsc", b"stco", b"co64",
-                       b"stsd", b"mdhd"):
-            # first video track wins: don't overwrite (audio tracks later
-            # in the file would otherwise clobber the sample tables)
+                       b"stsd", b"mdhd", b"hdlr"):
             found.setdefault(btype, (body, bend))
+
+
+def _pick_track(payload: bytes) -> dict:
+    """moov → the FIRST trak whose hdlr handler type is 'vide' (falling
+    back to the first trak at all if none is marked video — e.g. this
+    module's own minimal writer omits tkhd-level typing in tests built by
+    hand). Audio-first muxer output therefore still resolves the video
+    track, and boxes are never combined across traks."""
+    traks: list[dict] = []
+    for btype, body, bend in _boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for t, tb, te in _boxes(payload, body, bend):
+            if t != b"trak":
+                continue
+            found: dict[bytes, tuple[int, int]] = {}
+            _collect(payload, tb, te, found)
+            traks.append(found)
+    for found in traks:
+        h = found.get(b"hdlr")
+        if h and payload[h[0] + 8:h[0] + 12] == b"vide":
+            return found
+    return traks[0] if traks else {}
 
 
 def parse_mp4(payload: bytes):
@@ -130,11 +152,15 @@ def parse_mp4(payload: bytes):
 
     Timestamps are cumulative stts deltas rescaled to ms via the mdhd
     timescale; offsets come from the full stsc chunk-run × stco mapping.
+    Track selection: the first 'vide'-handler trak (see
+    :func:`_pick_track`). All table COUNTS are validated against their
+    box's byte length before any loop or allocation — a corrupt 32-bit
+    count must raise, not hang or OOM the decode task (the same
+    bounded-work discipline as the JPEG decoder's entropy-length guard).
     """
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF payload")
-    found: dict[bytes, tuple[int, int]] = {}
-    _collect(payload, 0, len(payload), found)
+    found = _pick_track(payload)
     for req in (b"stts", b"stsz", b"stsc", b"stsd", b"mdhd"):
         if req not in found:
             raise ValueError(f"MP4 missing {req.decode()} box")
@@ -145,10 +171,18 @@ def parse_mp4(payload: bytes):
         s, e = found[btype]
         return payload[s:e]
 
+    def checked(n: int, avail_bytes: int, per: int, what: str) -> int:
+        if n < 0 or n * per > avail_bytes:
+            raise ValueError(
+                f"MP4 {what} count {n} exceeds its box size")
+        return n
+
     # mdhd → timescale (version 0: u32s; version 1: u64 times)
     mb = body(b"mdhd")
     version = mb[0]
     timescale = struct.unpack_from(">I", mb, 20 if version == 1 else 12)[0]
+    if timescale <= 0:
+        raise ValueError("MP4 timescale must be positive")
 
     # stsd → first sample-entry fourcc
     sb = body(b"stsd")
@@ -157,40 +191,53 @@ def parse_mp4(payload: bytes):
     # stts → per-sample decode times
     tb = body(b"stts")
     (n_ent,) = struct.unpack_from(">I", tb, 4)
-    ts, t = [], 0
-    for i in range(n_ent):
-        cnt, delta = struct.unpack_from(">II", tb, 8 + 8 * i)
-        for _ in range(cnt):
-            ts.append(t * 1000 // timescale)
-            t += delta
+    n_ent = checked(n_ent, len(tb) - 8, 8, "stts entry")
+    # total sample count is ALSO untrusted (one entry can claim 2^32
+    # samples); bound it by what stsz declares below before expanding
+    entries = [struct.unpack_from(">II", tb, 8 + 8 * i)
+               for i in range(n_ent)]
 
     # stsz → sizes
     zb = body(b"stsz")
     fixed, n_samples = struct.unpack_from(">II", zb, 4)
     if fixed:
+        n_samples = checked(n_samples, len(payload), 1, "stsz sample")
         sizes = [fixed] * n_samples
     else:
+        n_samples = checked(n_samples, len(zb) - 12, 4, "stsz sample")
         sizes = list(struct.unpack_from(f">{n_samples}I", zb, 12))
+
+    ts, t = [], 0
+    for cnt, delta in entries:
+        for _ in range(min(cnt, n_samples - len(ts))):
+            ts.append(t * 1000 // timescale)
+            t += delta
+        if len(ts) >= n_samples:
+            break
 
     # stco/co64 → chunk offsets
     if b"stco" in found:
         cb = body(b"stco")
         (n_chunks,) = struct.unpack_from(">I", cb, 4)
+        n_chunks = checked(n_chunks, len(cb) - 8, 4, "stco chunk")
         chunk_off = list(struct.unpack_from(f">{n_chunks}I", cb, 8))
     else:
         cb = body(b"co64")
         (n_chunks,) = struct.unpack_from(">I", cb, 4)
+        n_chunks = checked(n_chunks, len(cb) - 8, 8, "co64 chunk")
         chunk_off = list(struct.unpack_from(f">{n_chunks}Q", cb, 8))
 
     # stsc chunk runs → samples-per-chunk for every chunk
     cb = body(b"stsc")
     (n_runs,) = struct.unpack_from(">I", cb, 4)
+    n_runs = checked(n_runs, len(cb) - 8, 12, "stsc run")
     runs = [struct.unpack_from(">III", cb, 8 + 12 * i)[:2]
             for i in range(n_runs)]
-    spc = []
+    spc: list[int] = []
     for i, (first, per) in enumerate(runs):
         last = runs[i + 1][0] if i + 1 < len(runs) else n_chunks + 1
-        spc.extend([per] * (last - first))
+        span = min(max(last - first, 0), n_chunks - len(spc))
+        spc.extend([per] * span)
     spc = spc[:n_chunks]
 
     # walk chunks → absolute sample spans

@@ -510,14 +510,25 @@ def bloom_semi_join(left, right, key: str, how: str = "semi",
     summary still fits a broadcast — m_bits ≈ 10 bits per distinct right
     key gives ~1% false positives (size the filter to the KEY COUNT, not
     the data volume: 1 G keys → 1.25 GB filter, one object-store copy per
-    node). Bloom has NO false negatives, so: semi = exact semi join over
-    the positive rows; anti = the definite negatives pass through freely ∪
-    exact anti join over the positives. Build cost is one coarse
-    word-range or-fold exchange, ≤ m/64 reduced rows."""
+    node; the sizing hint is rounded up to a multiple of 64). Bloom has NO
+    false negatives, so: semi = exact semi join over the positive rows;
+    anti = the definite negatives pass through freely ∪ exact anti join
+    over the positives. Build cost is one coarse word-range or-fold
+    exchange, ≤ m/64 reduced rows. Anti-path cost note: the two branches
+    are independent Ray pipelines, so the left source is scanned (and
+    Bloom-hashed) twice — a second cheap columnar read in exchange for
+    keeping the bulk negatives OUT of the shuffle; prefer the plain
+    :func:`bucketed_semi_join` for anti when the left read itself, not
+    the exchange, is the bottleneck."""
     import ray
 
     if how not in ("semi", "anti"):
         raise ValueError(f"how must be 'semi' or 'anti', got {how!r}")
+    if m_bits < 1 or k_hashes < 1:
+        raise ValueError("m_bits and k_hashes must be positive")
+    # the filter is stored as int64 words: round the sizing hint UP to a
+    # multiple of 64 ('~10 bits per key' naturally produces odd sizes)
+    m_bits = max(64, -(-int(m_bits) // 64) * 64)
     lschema = (left_schema if left_schema is not None
                else left.schema().base_schema)
     fref = ray.put(_build_bloom(right, right_key or key, m_bits, k_hashes))

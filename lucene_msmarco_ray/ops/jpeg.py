@@ -503,11 +503,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     mcuy = -(-h // (8 * vmax))
     # corrupt-header guard: a mutated SOF can declare absurd dimensions and
     # the MCU walk would then spin for minutes on end-of-stream 1-padding.
-    # Every coded block costs >= 6 bits (shortest DC code + EOB); require
-    # the entropy segment to be at least plausibly long enough, so decode
-    # work stays proportional to the actual payload.
+    # The legal minimum is 2 bits per coded block (a stream-optimized DHT
+    # can assign 1-bit codes to DC category 0 and EOB), so require at
+    # least that much entropy data — decode work stays proportional to
+    # the actual payload while every valid image, however compressible,
+    # passes.
     total_blocks = sum(mcux * mcuy * hs * vs for _, hs, vs, _ in comps)
-    if (len(payload) - pos) * 8 < total_blocks * 4:
+    if (len(payload) - pos) * 8 < total_blocks * 2:
         raise ValueError(
             "JPEG entropy stream too short for the declared dimensions "
             f"({total_blocks} blocks, {len(payload) - pos} bytes left)")

@@ -151,6 +151,16 @@ def encode_png(img: np.ndarray, filters=None) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-byte image dispatch: JFIF SOI → the baseline JPEG decoder
+    (``ops.jpeg``), else PNG. The ONE sniffing point for every image
+    consumer (stages and tests) — add new formats here."""
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(payload)
+    return decode_png(payload)
+
+
 def resize_nearest(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
     """(h, w, ch) → (size[1], size[0], ch) nearest-neighbor — pure index
     arithmetic, deterministic across platforms."""

@@ -99,11 +99,9 @@ class ImageDecodeStage:
             # real kernels: PNG (ops.media_codec) / baseline JPEG
             # (ops.jpeg), chosen per payload magic — bind the functions
             # once per actor so __call__ pays no import cost
-            from .jpeg import decode_jpeg
-            from .media_codec import decode_png, image_feature, resize_nearest
-            self._decode = lambda p: (decode_jpeg(p)
-                                      if p[:2] == b"\xff\xd8"
-                                      else decode_png(p))
+            from .media_codec import (decode_image, image_feature,
+                                      resize_nearest)
+            self._decode = decode_image
             self._resize = resize_nearest
             self._feature = image_feature
 
@@ -210,14 +208,11 @@ class VideoFrameSampleStage:
         self._skips = _SkipCounter("video")
         if not fake:
             from .bmff import parse_mp4
-            from .jpeg import decode_jpeg
-            from .media_codec import decode_png, image_feature, parse_mpng
+            from .media_codec import decode_image, image_feature, parse_mpng
             self._parse_mpng = parse_mpng
             self._parse_mp4 = parse_mp4
             self._feature = image_feature
-            self._decode = lambda p: (decode_jpeg(p)
-                                      if p[:2] == b"\xff\xd8"
-                                      else decode_png(p))
+            self._decode = decode_image
 
     def _sampled(self, payload: bytes):
         """container bytes → [(frame_idx, offset, length)] at stride_ms."""

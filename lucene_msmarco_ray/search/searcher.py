@@ -51,6 +51,13 @@ class IndexReader:
         Arrow buffers) instead of re-reading and re-decoding the parquet
         per actor. On a multi-node cluster this is the broadcast pattern:
         one object-store copy per node, not one decode per actor."""
+        # a compaction that crashed between its two renames leaves only
+        # segments.pre-compact; restore it on OPEN (not just on the next
+        # compact) — otherwise the reader would silently serve an empty
+        # index (the missing-segments fallback below exists for indexes
+        # that legitimately have no postings yet)
+        from ..index.compact import _recover_interrupted
+        _recover_interrupted(index_dir)
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
@@ -339,6 +346,8 @@ def preload_tables(index_dir: str) -> tuple[pa.Table, pa.Table]:
     ``IndexReader(idx, preload_ref=ref)`` per actor. Requires the
     index-fits-one-node preload mode (search/sharded.py is the
     doc-partitioned path beyond that)."""
+    from ..index.compact import _recover_interrupted
+    _recover_interrupted(index_dir)    # interrupted compaction → restore
     seg = os.path.join(index_dir, "segments")
     seg_tbl = (pads.dataset(seg).to_table() if os.path.isdir(seg)
                else pa.table({}))

@@ -27,7 +27,7 @@ from __future__ import annotations
 import pyarrow as pa
 import ray
 
-from .searcher import SearchStage, preload_tables
+from .searcher import RUN_SCHEMA, SearchStage, preload_tables
 
 
 @ray.remote
@@ -85,7 +85,9 @@ class SearcherPool:
         out.extend(ray.get(futs))
         parts = [t for t in out if t.num_rows]
         if not parts:
-            return out[0] if out else pa.table({})
+            # typed empty result — same schema as retrieve(), so callers
+            # treating the pool as a drop-in never hit a schema mismatch
+            return RUN_SCHEMA.empty_table()
         return pa.concat_tables(parts)
 
     def shutdown(self) -> None:

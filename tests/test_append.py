@@ -275,7 +275,13 @@ def test_compact_after_appends_is_bit_identical(ray_session,
     again = compact_index(idx)
     assert again["rows_before"] == again["rows_after"] == n_unique
 
-    # crash recovery: segments moved away, backup left behind
+    # crash recovery path A: a plain OPEN restores the backup (a reader
+    # must never silently serve an empty index)
+    shutil.move(seg, seg + ".pre-compact")
+    assert list(runs(IndexReader(idx, preload=True))[0][0]) \
+        == list(after[0][0])
+    assert os.path.isdir(seg)
+    # crash recovery path B: the next compact also restores + refolds
     shutil.move(seg, seg + ".pre-compact")
     summary3 = compact_index(idx)
     assert summary3["rows_after"] == n_unique

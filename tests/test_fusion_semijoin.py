@@ -246,3 +246,20 @@ def test_bloom_filter_actually_prunes(ray_session):
     assert hit[:50].all()                      # no false negatives
     fp = hit[50:].mean()
     assert fp < 0.02                           # ~(1-e^{-kn/m})^k ≈ 1e-5 here
+
+
+def test_bloom_semi_join_odd_m_bits(ray_session):
+    """m_bits not a multiple of 64 (the docstring's '10 bits/key' sizing
+    naturally produces these) is rounded up instead of crashing."""
+    import numpy as np
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.join import bloom_semi_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5], pa.int64())}))
+    right = rd.from_arrow(pa.table({"k": pa.array([2, 4], pa.int64())}))
+    sch = pa.schema([pa.field("k", pa.int64())])
+    for m in (1, 50, 100, 1000):
+        out = bloom_semi_join(left, right, key="k", m_bits=m,
+                              left_schema=sch).to_pandas()
+        assert sorted(out["k"]) == [2, 4], m

@@ -324,3 +324,59 @@ def test_png_mpng_wav_parsers_survive_mutations():
                 fn(bytes(q))
             except Exception:
                 pass
+
+
+def _extract_box(data: bytes, btype: bytes, start: int = 0,
+                 end: int | None = None) -> bytes:
+    import struct
+    end = len(data) if end is None else end
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        t = data[pos + 4:pos + 8]
+        if t == btype:
+            return data[pos:pos + size]
+        pos += size
+    raise KeyError(btype)
+
+
+def test_mp4_audio_first_track_order():
+    """Muxers often list the audio trak first: parse_mp4 must select the
+    'vide'-handler trak, not blindly the first one, and never mix tables
+    across traks."""
+    frames = [b"F" * 10, b"G" * 12, b"H" * 9]
+    video = encode_mp4(frames, 40, 4, 4, codec=b"mpng")
+    # a decoy "audio" file with DIFFERENT timing/codec, trak extracted
+    decoy = encode_mp4([b"a" * 5, b"b" * 6], 999, 0, 0, codec=b"mp4a")
+    moov_v = _extract_box(video, b"moov")
+    moov_d = _extract_box(decoy, b"moov")
+    trak_v = _extract_box(moov_v, b"trak", 8)
+    trak_d = _extract_box(moov_d, b"trak", 8).replace(b"vide", b"soun")
+    mvhd = _extract_box(moov_v, b"mvhd", 8)
+    import struct
+    body = mvhd + trak_d + trak_v                # audio trak FIRST
+    moov = struct.pack(">I", len(body) + 8) + b"moov" + body
+    head = video[:video.index(b"moov", 4) - 4]   # ftyp + mdat unchanged
+    mixed = head + moov
+    codec, ts, spans = parse_mp4(mixed)
+    assert codec == b"mpng"                      # the video trak won
+    assert ts == [0, 40, 80]
+    for f, (off, ln) in zip(frames, spans):
+        assert mixed[off:off + ln] == f
+
+
+def test_mp4_corrupt_counts_raise_quickly():
+    """Untrusted 32-bit counts (stts entries, stsz samples, stco chunks)
+    must raise, not hang/OOM — validated against each box's byte size."""
+    import struct
+    import time
+
+    base = encode_mp4([b"x" * 7, b"y" * 8], 40)
+    for marker, count_off in ((b"stts", 4), (b"stsz", 8), (b"stco", 4)):
+        pos = base.index(marker)
+        bad = bytearray(base)
+        struct.pack_into(">I", bad, pos + 4 + count_off, 0x40000000)
+        t0 = time.time()
+        with pytest.raises(ValueError):
+            parse_mp4(bytes(bad))
+        assert time.time() - t0 < 1.0, marker

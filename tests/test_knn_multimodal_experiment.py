@@ -128,9 +128,8 @@ def test_image_feature_and_resize():
 def test_multimodal_real_pipeline(ray_session):
     import ray.data as rd
 
-    from lucene_msmarco_ray.ops.jpeg import decode_jpeg
     from lucene_msmarco_ray.ops.media_codec import (
-        decode_png,
+        decode_image,
         image_feature,
         resize_nearest,
     )
@@ -145,8 +144,7 @@ def test_multimodal_real_pipeline(ray_session):
                                    tbl["payload"].to_pylist(),
                                    tbl["kind"].to_pylist()) if k == "image"}
     for _, r in img.iterrows():
-        raw = pay[r["media_id"]]
-        src = decode_jpeg(raw) if raw[:2] == b"\xff\xd8" else decode_png(raw)
+        src = decode_image(pay[r["media_id"]])
         assert (r["height"], r["width"]) == src.shape[:2]
         want = image_feature(resize_nearest(src, (224, 224)), 64)
         assert np.allclose(np.array(r["feature"]), want)

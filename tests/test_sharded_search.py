@@ -116,3 +116,30 @@ def test_searcher_pool_matches_retrieve_and_reuses(ray_session,
     finally:
         pool.shutdown()
     assert pool.actors == []
+
+
+def test_searcher_pool_empty_queries_typed_schema(ray_session,
+                                                  tmp_path_factory):
+    import pyarrow as pa
+
+    from lucene_msmarco_ray.config import EngineConfig
+    from lucene_msmarco_ray.index.build import build_index
+    from lucene_msmarco_ray.search.searcher import RUN_SCHEMA
+    from lucene_msmarco_ray.search.service import SearcherPool
+    from lucene_msmarco_ray.sources.corpus import read_code_corpus
+    from lucene_msmarco_ray.synth import generate_corpus
+
+    d = tmp_path_factory.mktemp("svce")
+    files = generate_corpus(60, seed=3, n_files=1, out_dir=str(d))
+    idx = str(tmp_path_factory.mktemp("svceidx") / "idx")
+    build_index(read_code_corpus(files), idx,
+                EngineConfig(analyzer="english", num_shards=2),
+                text_col="content", id_col="doc_id", key_col="doc_key")
+    pool = SearcherPool(idx, n_actors=1, scorer="bm25", k=5, num_cpus=0.5)
+    try:
+        empty = pa.table({"qid": pa.array([], pa.string()),
+                          "text": pa.array([], pa.string())})
+        out = pool.query(empty)
+        assert out.schema.equals(RUN_SCHEMA) and out.num_rows == 0
+    finally:
+        pool.shutdown()
