@@ -34,7 +34,7 @@ logger = logging.getLogger(__name__)
 
 
 def check_hot_users(user_ids: np.ndarray, counts: np.ndarray,
-                    threshold: int) -> list[tuple[int, int]]:
+                    threshold: int, op: str = "sessionize") -> list[tuple[int, int]]:
     """Users whose event count exceeds ``threshold`` — the sessionize skew
     bound. Gap-based sessions need ALL of a user's events co-located, so a
     hot user cannot be sub-partitioned without a boundary-merge pass; the
@@ -44,10 +44,10 @@ def check_hot_users(user_ids: np.ndarray, counts: np.ndarray,
     out = [(int(user_ids[i]), int(counts[i])) for i in hot]
     for uid, n in out:
         logger.warning(
-            "sessionize: user %d has %d events (> hot_user_events=%d); "
+            "%s: user %d has %d events (> hot_user_events=%d); "
             "this partition's sort is bounded by that user — consider "
-            "pre-splitting the user upstream or raising the bound", uid, n,
-            threshold)
+            "pre-splitting the user upstream or raising the bound", op,
+            uid, n, threshold)
     return out
 
 
@@ -366,7 +366,7 @@ def cumulative_agg(ds, key_col: str = "user_id", ts_col: str = "ts",
         new_user = np.concatenate(([True], u[1:] != u[:-1]))
         ustarts = np.flatnonzero(new_user)
         ulens = np.diff(np.concatenate((ustarts, [u.size])))
-        check_hot_users(u[ustarts], ulens, hot_user_events)
+        check_hot_users(u[ustarts], ulens, hot_user_events, op="cumulative_agg")
         cs = np.cumsum(cents)
         base = np.repeat(cs[ustarts] - cents[ustarts], ulens)
         cnt = np.arange(u.size, dtype=np.int64) - np.repeat(ustarts, ulens) + 1
@@ -677,19 +677,21 @@ def funnel_counts(ds, steps, within_seconds: int = 86_400,
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
         uid, ucnt = np.unique(g["user_id"].to_numpy(), return_counts=True)
-        check_hot_users(uid, ucnt, hot_user_events)
+        check_hot_users(uid, ucnt, hot_user_events, op="funnel_counts")
         # bound: per-user completion time of the previous step (NaN = out)
         bound = None
         counts = []
         for j, s in enumerate(steps):
             sub = g[g["etype"] == s]
             if bound is not None:
-                # int64-exact window compare — a float64 cast of µs
-                # timestamps is only exact below 2^53; users missing from
-                # `bound` are masked explicitly instead of via NaN
-                b = sub["user_id"].map(bound)
-                present = b.notna().to_numpy()
-                lo = b.fillna(0).to_numpy(np.int64)
+                # int64-exact window compare — pandas Series.map would
+                # upcast the WHOLE result to float64 the moment any user
+                # is absent (NaN), silently truncating bounds past 2^53;
+                # positional get_indexer keeps present users' bounds in
+                # int64 end to end and masks absentees explicitly
+                pos = bound.index.get_indexer(sub["user_id"])
+                present = pos >= 0
+                lo = bound.to_numpy(np.int64)[np.clip(pos, 0, None)]
                 t = sub["ts_us"].to_numpy(np.int64)
                 sub = sub[present & (t > lo) & (t <= lo + win_us)]
             tmin = sub.groupby("user_id")["ts_us"].min()
@@ -752,7 +754,7 @@ def cohort_retention(ds, period_seconds: int = 604_800,
     def offsets(g: pd.DataFrame) -> pd.DataFrame:
         df = g.drop_duplicates(["user_id", "period"])
         uid, ucnt = np.unique(df["user_id"].to_numpy(), return_counts=True)
-        check_hot_users(uid, ucnt, hot_user_periods)
+        check_hot_users(uid, ucnt, hot_user_periods, op="cohort_retention")
         cohort = df.groupby("user_id")["period"].transform("min")
         out = pd.DataFrame({"cohort": cohort.to_numpy(np.int64),
                             "offset": (df["period"] - cohort)
@@ -808,7 +810,7 @@ def time_deltas(ds, user_col: str = "user_id", ts_col: str = "ts",
         u = g["user_id"].to_numpy(np.int64)
         t = g["ts_us"].to_numpy(np.int64)
         uid, ucnt = np.unique(u, return_counts=True)
-        check_hot_users(uid, ucnt, hot_user_events)
+        check_hot_users(uid, ucnt, hot_user_events, op="time_deltas")
         order = np.lexsort((e, t, u))
         e, u, t = e[order], u[order], t[order]
         d = np.empty(t.size, np.int64)

@@ -515,8 +515,16 @@ def group_zscore(ds, group_cols, value_col: str, out_col: str = "zscore"):
            .groupby(group_cols)
            .aggregate(Sum("n"), Sum("s"), Sum("s2")).to_pandas())
     # key on the raw value TUPLE — a '|'-joined string collides when group
-    # values themselves contain '|' (('a|b','c') vs ('a','b|c'))
-    key = list(mom[group_cols].itertuples(index=False, name=None))
+    # values themselves contain '|' (('a|b','c') vs ('a','b|c')). NaN group
+    # values canonicalize to None: every float('nan') is a DISTINCT dict
+    # key (nan != nan, id-based hash), so raw-NaN tuples would never match
+    # between the broadcast build and the per-batch lookup
+
+    def _canon(rows):
+        return [tuple(None if isinstance(v, float) and v != v else v
+                      for v in r) for r in rows]
+
+    key = _canon(mom[group_cols].itertuples(index=False, name=None))
     n = mom["sum(n)"].to_numpy(np.float64)
     s = mom["sum(s)"].to_numpy(np.float64)
     s2 = mom["sum(s2)"].to_numpy(np.float64)
@@ -529,7 +537,7 @@ def group_zscore(ds, group_cols, value_col: str, out_col: str = "zscore"):
         import pandas as pd
         table = ray.get(bref)
         df = batch.to_pandas()
-        k = df[group_cols].itertuples(index=False, name=None)
+        k = _canon(df[group_cols].itertuples(index=False, name=None))
         ms = np.array([table[v] for v in k], np.float64)
         v = df[value_col].to_numpy(np.float64)
         z = np.where(ms[:, 1] > 0, (v - ms[:, 0]) / np.where(
