@@ -214,6 +214,14 @@ def parse_mp4(payload: bytes):
             t += delta
         if len(ts) >= n_samples:
             break
+    # cross-check: each table was size-validated on its own, but stts
+    # expanding to FEWER timestamps than stsz declares samples would
+    # otherwise silently drop the trailing frames in downstream zips —
+    # fail loud like the stsc/stco consistency checks
+    if len(ts) < n_samples:
+        raise ValueError(
+            f"sample tables inconsistent: stts covers {len(ts)} samples, "
+            f"stsz declares {n_samples}")
 
     # stco/co64 → chunk offsets
     if b"stco" in found:

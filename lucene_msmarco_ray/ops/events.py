@@ -689,11 +689,17 @@ def funnel_counts(ds, steps, within_seconds: int = 86_400,
                 # is absent (NaN), silently truncating bounds past 2^53;
                 # positional get_indexer keeps present users' bounds in
                 # int64 end to end and masks absentees explicitly
-                pos = bound.index.get_indexer(sub["user_id"])
-                present = pos >= 0
-                lo = bound.to_numpy(np.int64)[np.clip(pos, 0, None)]
-                t = sub["ts_us"].to_numpy(np.int64)
-                sub = sub[present & (t > lo) & (t <= lo + win_us)]
+                if bound.empty:
+                    # nobody completed the previous step in this
+                    # partition — the gather below would index a size-0
+                    # array; every later step is empty by definition
+                    sub = sub.iloc[0:0]
+                else:
+                    pos = bound.index.get_indexer(sub["user_id"])
+                    present = pos >= 0
+                    lo = bound.to_numpy(np.int64)[np.clip(pos, 0, None)]
+                    t = sub["ts_us"].to_numpy(np.int64)
+                    sub = sub[present & (t > lo) & (t <= lo + win_us)]
             tmin = sub.groupby("user_id")["ts_us"].min()
             bound = tmin
             counts.append(len(tmin))

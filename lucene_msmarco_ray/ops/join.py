@@ -442,8 +442,17 @@ def _build_bloom(right, rkey: str, m_bits: int, k_hashes: int) -> np.ndarray:
     n_words = m_bits // 64
     n_parts = 32
 
+    empty = pa.table({"__part": pa.array([], pa.int64()),
+                      "w": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64())})
+
     def partial(batch: pa.Table) -> pa.Table:
         keys = batch[rkey].to_numpy(zero_copy_only=False)
+        if keys.size == 0:
+            # reduceat on a zero-key batch would gather starts=[0] into a
+            # size-0 array; empty blocks are routine when the right side
+            # is itself a filtered dataset
+            return empty
         pos = _bloom_positions(keys, m_bits, k_hashes).ravel()
         words = (pos >> np.uint64(6)).astype(np.int64)
         vals = (np.uint64(1) << (pos & np.uint64(63))).view(np.int64)
@@ -459,6 +468,8 @@ def _build_bloom(right, rkey: str, m_bits: int, k_hashes: int) -> np.ndarray:
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         w = g["w"].to_numpy(np.int64)
         v = g["v"].to_numpy(np.int64)
+        if w.size == 0:
+            return pd.DataFrame({"w": w, "v": v})
         order = np.argsort(w, kind="stable")
         w, v = w[order], v[order]
         starts = np.flatnonzero(np.concatenate(([True], w[1:] != w[:-1])))
@@ -471,7 +482,8 @@ def _build_bloom(right, rkey: str, m_bits: int, k_hashes: int) -> np.ndarray:
            .groupby("__part").map_groups(fold, batch_format="pandas")
            .to_pandas())
     filt = np.zeros(n_words, np.int64)
-    filt[red["w"].to_numpy(np.int64)] = red["v"].to_numpy(np.int64)
+    if len(red):   # an empty right side yields a column-less frame
+        filt[red["w"].to_numpy(np.int64)] = red["v"].to_numpy(np.int64)
     return filt
 
 

@@ -448,6 +448,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
         marker = payload[pos + 1]
+        if marker == 0xFF:
+            # ISO 10918-1 B.1.1.2: any marker may be preceded by any
+            # number of 0xFF fill bytes
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -518,6 +523,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     for cid, hs, vs, tq in comps:
         planes.append(np.zeros((mcuy * vs, mcux * hs, 64), np.int64))
     dc_ac = {cid: (dct, act) for cid, dct, act in scan_comps}
+    # fail with the documented exception type (not KeyError) when the scan
+    # references a table the stream never defined
+    for cid, (dct, act) in dc_ac.items():
+        if (0, dct) not in huff or (1, act) not in huff:
+            raise ValueError(
+                f"scan component {cid} references undefined Huffman "
+                f"table (dc={dct}, ac={act})")
+    for cid, hs, vs, tq in comps:
+        if tq not in qt:
+            raise ValueError(
+                f"frame component {cid} references undefined quant "
+                f"table {tq}")
 
     br = _BitReader(payload, pos)
     preds = {c[0]: 0 for c in comps}

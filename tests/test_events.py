@@ -309,6 +309,32 @@ def test_funnel_counts_goldens(ray_session):
     assert out["n_users"].tolist() == [3, 1]     # views: users 1,2,3
 
 
+def test_funnel_counts_empty_prior_step(ray_session):
+    """Regression (round-4 snapshot commit): a partition with step-j
+    events but ZERO completers of step j-1 made ``bound`` an empty
+    Series, and the get_indexer gather indexed a size-0 array →
+    IndexError.  Nobody views here, so every partition's step-1 bound
+    is empty while step-2 ('click') events exist."""
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.events import funnel_counts
+    rows = [_ev(i, i % 5, i * 10, 0, "click") for i in range(20)]
+    out = funnel_counts(rd.from_items(rows, override_num_blocks=4),
+                        ["view", "click"], within_seconds=1000) \
+        .to_pandas().sort_values("step").reset_index(drop=True)
+    assert out["event_type"].tolist() == ["view", "click"]
+    assert out["n_users"].tolist() == [0, 0]
+
+    # mixed case: one partitioned user does view→click, the rest only
+    # click — partitions without any viewer must not crash and must not
+    # count their clickers
+    rows2 = rows + [_ev(100, 99, 0, 0, "view"), _ev(101, 99, 50, 0, "click")]
+    out2 = funnel_counts(rd.from_items(rows2, override_num_blocks=4),
+                         ["view", "click"], within_seconds=1000) \
+        .to_pandas().sort_values("step").reset_index(drop=True)
+    assert out2["n_users"].tolist() == [1, 1]
+
+
 def test_cohort_retention_goldens(ray_session):
     import ray.data as rd
 

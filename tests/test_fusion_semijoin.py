@@ -263,3 +263,30 @@ def test_bloom_semi_join_odd_m_bits(ray_session):
         out = bloom_semi_join(left, right, key="k", m_bits=m,
                               left_schema=sch).to_pandas()
         assert sorted(out["k"]) == [2, 4], m
+
+
+def test_bloom_build_empty_right_blocks(ray_session):
+    """Regression: _build_bloom's partial crashed (reduceat on a size-0
+    array) when a right-side block carried zero keys — routine when the
+    right side is a filtered dataset. An entirely-empty right side must
+    also work: semi yields nothing, anti yields everything."""
+    import numpy as np
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.join import bloom_semi_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64())}))
+    # 4 blocks, only one of which survives the filter → 3 empty blocks
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(np.arange(40), pa.int64())})).repartition(4) \
+        .filter(lambda r: r["k"] == 2)
+    sch = pa.schema([pa.field("k", pa.int64())])
+    out = bloom_semi_join(left, right, key="k", left_schema=sch).to_pandas()
+    assert sorted(out["k"]) == [2]
+
+    nothing = right.filter(lambda r: r["k"] < 0)
+    assert bloom_semi_join(left, nothing, key="k",
+                           left_schema=sch).count() == 0
+    anti = bloom_semi_join(left, nothing, key="k", how="anti",
+                           left_schema=sch).to_pandas()
+    assert sorted(anti["k"]) == [1, 2, 3, 4]
