@@ -167,12 +167,13 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def _unigram_micro(ds, text_col: str):
-    """Train a unigram LM over ``ds`` → (terms, micro-nat log-probs,
-    oov micro-nats). Batch-local token counts (batch-vocabulary-sized
-    partials) → ONE groupby exchange → the reduced (term, cf) table, the
-    only materialized object — bounded by vocabulary, never the token
-    stream. micro = int64(floor(ln(cf/T)·1e6+0.5)); OOV = ln(0.5/T)."""
+def _unigram_counts_ds(ds, text_col: str):
+    """Reduce ``ds`` to its (term, c) count table WITHOUT bringing it to
+    the driver → (materialized Dataset (term, c int64), total tokens,
+    vocab rows). Batch-local token counts (batch-vocabulary-sized
+    partials) → ONE groupby exchange; the reduced table stays in the
+    object store so callers can decide broadcast-vs-join AFTER seeing
+    its size."""
     from ray.data.aggregate import Sum
 
     def count_partial(batch: pa.Table) -> pa.Table:
@@ -182,10 +183,133 @@ def _unigram_micro(ds, text_col: str):
             "term": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
             "c": pa.array(vc.to_numpy(np.int64))})
 
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"term": batch["term"],
+                         "c": batch["sum(c)"].cast(pa.int64())})
+
     vocab = (ds.map_batches(count_partial, batch_format="pyarrow")
-             .groupby("term").aggregate(Sum("c")).to_pandas())
-    cf = vocab["sum(c)"].to_numpy(np.float64)
-    total = float(cf.sum())
+             .groupby("term").aggregate(Sum("c"))
+             .map_batches(rename, batch_format="pyarrow")
+             .materialize())
+    total = float(vocab.sum("c") or 0.0)
+    return vocab, total, vocab.count()
+
+
+def _micro_vocab_ds(vocab, total: float):
+    """(term, c) Dataset → (key, micro) Dataset with the repo's
+    fixed-point log convention — the join-side twin of the broadcast
+    (terms, micro) arrays."""
+    def f(batch: pa.Table) -> pa.Table:
+        cf = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        micro = np.floor(np.log(cf / total) * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"key": batch["term"], "micro": pa.array(micro)})
+    f.__name__ = "micro_vocab"
+    return vocab.map_batches(f, batch_format="pyarrow")
+
+
+def _explode_terms(id_col: str, text_col: str,
+                   emit_sentinels: bool = True):
+    """Batch fn: docs → batch-locally aggregated (doc_id, key, tf) unit
+    rows for the bucketed-join scoring path, with a (key='', tf=0)
+    sentinel per EMPTY doc so it survives the join (whitespace
+    tokenization never yields an empty token). Pass
+    ``emit_sentinels=False`` for consumers whose contract DROPS empty
+    docs (tf-idf)."""
+    import pandas as pd
+
+    def f(batch: pa.Table) -> pa.Table:
+        flat, counts = _flat_tokens(batch[text_col])
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        toks = flat.to_pandas()
+        codes, uniq = pd.factorize(toks)
+        if len(uniq):
+            doc_idx = np.repeat(np.arange(counts.size, dtype=np.int64),
+                                counts)
+            pair, tf = np.unique(doc_idx * np.int64(len(uniq)) + codes,
+                                 return_counts=True)
+            udoc = (pair // len(uniq)).astype(np.int64)
+            ucode = (pair % len(uniq)).astype(np.int64)
+            uniq_arr = (uniq.to_numpy(dtype=object)
+                        if hasattr(uniq, "to_numpy")
+                        else np.asarray(uniq, object))
+            keys = uniq_arr[ucode]
+            tf = tf.astype(np.int64)
+        else:
+            udoc = np.empty(0, np.int64)
+            keys = np.empty(0, object)
+            tf = np.empty(0, np.int64)
+        empty_docs = (np.flatnonzero(counts == 0) if emit_sentinels
+                      else np.empty(0, np.int64))
+        if empty_docs.size:
+            udoc = np.concatenate([udoc, empty_docs])
+            keys = np.concatenate([keys,
+                                   np.full(empty_docs.size, "", object)])
+            tf = np.concatenate([tf, np.zeros(empty_docs.size, np.int64)])
+        return pa.table({"doc_id": pa.array(ids[udoc].astype(np.int64)),
+                         "key": pa.array(keys, pa.string()),
+                         "tf": pa.array(tf)})
+    f.__name__ = "explode_terms"
+    return f
+
+
+def _explode_pairs(id_col: str, text_col: str):
+    """Batch fn: docs → batch-locally aggregated (doc_id, key, tf) over
+    within-document ADJACENT-PAIR keys (``w1␟w2``), with a (key='',
+    tf=0) sentinel per doc having < 2 tokens — the pair twin of
+    :func:`_explode_terms` for the bucketed bigram-LM path."""
+    import pandas as pd
+
+    def f(batch: pa.Table) -> pa.Table:
+        flat, counts = _flat_tokens(batch[text_col])
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        npairs = np.maximum(counts - 1, 0)
+        toks = flat.to_pandas()
+        n = len(toks)
+        udoc = np.empty(0, np.int64)
+        keys = np.empty(0, object)
+        tf = np.empty(0, np.int64)
+        if n >= 2:
+            ends = np.cumsum(counts)
+            mask = np.ones(n - 1, bool)
+            inner = ends[(ends > 0) & (ends < n)]
+            mask[inner - 1] = False          # pairs crossing doc boundaries
+            pairs = (toks.iloc[:-1].reset_index(drop=True) + _SEP
+                     + toks.iloc[1:].reset_index(drop=True))[mask]
+            doc_idx = np.repeat(np.arange(counts.size, dtype=np.int64),
+                                counts)[:-1][mask]
+            codes, uniq = pd.factorize(pairs)
+            if len(uniq):
+                pr, cnt = np.unique(doc_idx * np.int64(len(uniq)) + codes,
+                                    return_counts=True)
+                udoc = (pr // len(uniq)).astype(np.int64)
+                ucode = (pr % len(uniq)).astype(np.int64)
+                uniq_arr = (uniq.to_numpy(dtype=object)
+                            if hasattr(uniq, "to_numpy")
+                            else np.asarray(uniq, object))
+                keys = uniq_arr[ucode]
+                tf = cnt.astype(np.int64)
+        empty_docs = np.flatnonzero(npairs == 0)
+        if empty_docs.size:
+            udoc = np.concatenate([udoc, empty_docs])
+            keys = np.concatenate([keys,
+                                   np.full(empty_docs.size, "", object)])
+            tf = np.concatenate([tf, np.zeros(empty_docs.size, np.int64)])
+        return pa.table({"doc_id": pa.array(ids[udoc].astype(np.int64)),
+                         "key": pa.array(keys, pa.string()),
+                         "tf": pa.array(tf)})
+    f.__name__ = "explode_pairs"
+    return f
+
+
+def _unigram_micro(ds, text_col: str):
+    """Train a unigram LM over ``ds`` → (terms, micro-nat log-probs,
+    oov micro-nats) as DRIVER arrays for the broadcast path. The reduced
+    (term, cf) table is the only materialized object — bounded by
+    vocabulary, never the token stream. micro =
+    int64(floor(ln(cf/T)·1e6+0.5)); OOV = ln(0.5/T)."""
+    counts, total, _n = _unigram_counts_ds(ds, text_col)
+    vocab = counts.to_pandas()
+    cf = vocab["c"].to_numpy(np.float64)
     micro = np.floor(np.log(cf / total) * 1e6 + 0.5).astype(np.int64)
     terms = vocab["term"].to_numpy(dtype=object)
     oov_micro = int(np.floor(np.log(0.5 / total) * 1e6 + 0.5))
@@ -228,8 +352,35 @@ class _LmScoreStage:
                          "ppl": pa.array(ppl)})
 
 
+def _finish_lm_scores(n_col: str, avg_col: str, with_ppl: bool,
+                      sum_col: str | None = None):
+    """Batch fn: exact (doc_id, s, n) integer sums → the public LM-score
+    schema, applying the same floor(x·1e6+0.5)/1e6 rounding as the
+    broadcast stages so the two paths are bit-identical."""
+    def f(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nz = n > 0
+        avg = np.zeros(n.size, np.float64)
+        a = s[nz] / 1e6 / n[nz]
+        avg[nz] = np.floor(a * 1e6 + 0.5) / 1e6
+        cols = {"doc_id": batch["doc_id"].cast(pa.int64()),
+                n_col: pa.array(n)}
+        if sum_col is not None:
+            cols[sum_col] = pa.array(s)
+        cols[avg_col] = pa.array(avg)
+        if with_ppl:
+            ppl = np.ones(n.size, np.float64)
+            ppl[nz] = np.floor(np.exp(-a) * 1e6 + 0.5) / 1e6
+            cols["ppl"] = pa.array(ppl)
+        return pa.table(cols)
+    f.__name__ = "finish_lm_scores"
+    return f
+
+
 def unigram_lm_perplexity(ds, text_col: str = "text", id_col: str = "doc_id",
-                          score_ds=None, concurrency: int = 4):
+                          score_ds=None, concurrency: int = 4,
+                          max_broadcast_vocab: int | None = None):
     """Per-document unigram-LM perplexity (the CCNet/quality-filter signal)
     → (doc_id, n_tokens, avg_logprob, ppl).
 
@@ -245,13 +396,38 @@ def unigram_lm_perplexity(ds, text_col: str = "text", id_col: str = "doc_id",
 
     OOV (only when ``score_ds`` differs from the training corpus): absent
     tokens cost ``ln(0.5/T)`` micro-nats. ``avg_logprob`` is
-    ``sum_micro/1e6/n`` and ``ppl = exp(-avg)``; empty docs score (0, 1)."""
+    ``sum_micro/1e6/n`` and ``ppl = exp(-avg)``; empty docs score (0, 1).
+
+    Detect-and-switch: when the reduced vocab exceeds
+    ``max_broadcast_vocab`` (default :data:`~.vocab_join
+    .MAX_BROADCAST_VOCAB`) — think 100 TB of source code, whose
+    identifier/hex-literal vocabulary outgrows any single node — the
+    vocab stays distributed and scoring flips to the bucketed join in
+    :mod:`.vocab_join`, bit-identical output."""
     import ray
 
-    terms, micro, oov_micro = _unigram_micro(ds, text_col)
-    bref = ray.put((terms, micro))
+    from .vocab_join import MAX_BROADCAST_VOCAB, bucketed_micro_sum
 
+    limit = (MAX_BROADCAST_VOCAB if max_broadcast_vocab is None
+             else max_broadcast_vocab)
+    counts, total, n_vocab = _unigram_counts_ds(ds, text_col)
+    oov_micro = int(np.floor(np.log(0.5 / total) * 1e6 + 0.5))
     target = score_ds if score_ds is not None else ds
+
+    if n_vocab > limit:
+        units = target.map_batches(_explode_terms(id_col, text_col),
+                                   batch_format="pyarrow")
+        sums = bucketed_micro_sum(units, _micro_vocab_ds(counts, total),
+                                  oov_micro)
+        return sums.map_batches(
+            _finish_lm_scores("n_tokens", "avg_logprob", with_ppl=True),
+            batch_format="pyarrow")
+
+    vocab = counts.to_pandas()
+    cf = vocab["c"].to_numpy(np.float64)
+    micro = np.floor(np.log(cf / total) * 1e6 + 0.5).astype(np.int64)
+    terms = vocab["term"].to_numpy(dtype=object)
+    bref = ray.put((terms, micro))
 
     def project(batch: pa.Table) -> pa.Table:
         return pa.table({"__id": batch[id_col].cast(pa.int64()),
@@ -295,7 +471,8 @@ class _ImportanceStage:
 
 
 def importance_weights(ds, target, text_col: str = "text",
-                       id_col: str = "doc_id", concurrency: int = 4):
+                       id_col: str = "doc_id", concurrency: int = 4,
+                       max_broadcast_vocab: int | None = None):
     """DSIR-style importance weights (Xie et al. 2023, unigram variant):
     per-doc log importance ``Σ_t [ln p_target(t) − ln p_source(t)]`` where
     the source LM trains on ``ds`` and the target LM on ``target`` (the
@@ -304,17 +481,52 @@ def importance_weights(ds, target, text_col: str = "text",
     get positive weights — rank by ``logw_micro`` and resample.
 
     Both LMs train with the one-exchange vocabulary reduce
-    (:func:`_unigram_micro`); the driver folds them into a single
+    (:func:`_unigram_counts_ds`); the driver folds them into a single
     (term → micro-nat log-ratio) table broadcast once, so scoring is a
     stateless actor-pool pass with exact int64 per-doc sums (bit-stable,
     SQL-replayable). Tokens absent from the target vocab cost its
     ``ln(0.5/T_target)`` floor; tokens absent from BOTH (scoring a third
-    corpus) cost the floors' difference."""
+    corpus) cost the floors' difference.
+
+    Detect-and-switch: when either reduced vocab exceeds
+    ``max_broadcast_vocab``, the fold happens as a distributed
+    :func:`~.vocab_join.vocab_diff` and scoring as a bucketed join —
+    no driver materialization, bit-identical output."""
+    import pandas as pd
     import ray
 
-    t_terms, t_micro, t_oov = _unigram_micro(target, text_col)
-    s_terms, s_micro, s_oov = _unigram_micro(ds, text_col)
-    import pandas as pd
+    from .vocab_join import (
+        MAX_BROADCAST_VOCAB,
+        bucketed_micro_sum,
+        vocab_diff,
+    )
+
+    limit = (MAX_BROADCAST_VOCAB if max_broadcast_vocab is None
+             else max_broadcast_vocab)
+    t_counts, t_total, t_n = _unigram_counts_ds(target, text_col)
+    s_counts, s_total, s_n = _unigram_counts_ds(ds, text_col)
+    t_oov = int(np.floor(np.log(0.5 / t_total) * 1e6 + 0.5))
+    s_oov = int(np.floor(np.log(0.5 / s_total) * 1e6 + 0.5))
+
+    if max(t_n, s_n) > limit:
+        diff = vocab_diff(_micro_vocab_ds(s_counts, s_total),
+                          _micro_vocab_ds(t_counts, t_total), t_oov)
+        units = ds.map_batches(_explode_terms(id_col, text_col),
+                               batch_format="pyarrow")
+        sums = bucketed_micro_sum(units, diff, t_oov - s_oov)
+        return sums.map_batches(
+            _finish_lm_scores("n_tokens", "avg_logw", with_ppl=False,
+                              sum_col="logw_micro"),
+            batch_format="pyarrow")
+
+    def _driver_micro(counts, total):
+        pdf = counts.to_pandas()
+        cf = pdf["c"].to_numpy(np.float64)
+        return (pdf["term"].to_numpy(dtype=object),
+                np.floor(np.log(cf / total) * 1e6 + 0.5).astype(np.int64))
+
+    t_terms, t_micro = _driver_micro(t_counts, t_total)
+    s_terms, s_micro = _driver_micro(s_counts, s_total)
     pos = pd.Index(t_terms).get_indexer(pd.Index(s_terms))
     tgt_m = np.where(pos >= 0, t_micro[np.clip(pos, 0, None)],
                      np.int64(t_oov))
@@ -606,7 +818,8 @@ _SEP = "\x1f"    # unit separator — never appears in whitespace tokens
 
 def bigram_lm_perplexity(ds, text_col: str = "text",
                          id_col: str = "doc_id", lam: float = 0.9,
-                         concurrency: int = 4):
+                         concurrency: int = 4,
+                         max_broadcast_vocab: int | None = None):
     """Per-document interpolated bigram-LM perplexity →
     (doc_id, n_pairs, avg_logprob, ppl): ``p(w2|w1) = λ·c(w1w2)/c(w1)
     + (1−λ)·c(w2)/T`` over adjacent within-document pairs — the next
@@ -616,11 +829,17 @@ def bigram_lm_perplexity(ds, text_col: str = "text",
     Shapes: bigram and unigram counts each reduce through ONE
     pre-aggregated exchange (partials are batch-vocabulary-sized); the
     driver folds them into a single (pair → micro-nat) table broadcast
-    once — bounded by the DISTINCT-bigram vocabulary (the same bound the
-    PMI op already carries; truncate upstream for corpora whose bigram
-    vocab outgrows a broadcast). Per-pair log-probs are int64 micro-nats
-    → exact per-doc sums, SQL-replayed; docs with < 2 tokens score
-    (0 pairs, 0, 1)."""
+    once — bounded by the DISTINCT-bigram vocabulary. Per-pair log-probs
+    are int64 micro-nats → exact per-doc sums, SQL-replayed; docs with
+    < 2 tokens score (0 pairs, 0, 1).
+
+    Detect-and-switch: a bigram vocab past ``max_broadcast_vocab`` stays
+    a distributed Dataset — per-pair micros are computed by a stateless
+    actor pass over it (against the still-broadcastable UNIGRAM table)
+    and scoring flips to the bucketed join, bit-identical. If even the
+    unigram vocab exceeds the limit this raises ValueError: the
+    interpolated p(w2|w1) needs a two-level distributed join we don't
+    ship — prune the corpus vocabulary upstream first."""
     import pandas as pd
     import ray
     from ray.data.aggregate import Sum
@@ -643,22 +862,69 @@ def bigram_lm_perplexity(ds, text_col: str = "text",
             "pair": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
             "c": pa.array(vc.to_numpy(np.int64))})
 
-    bi = (ds.map_batches(pair_partials, batch_format="pyarrow")
-          .groupby("pair").aggregate(Sum("c")).to_pandas())
+    def rename_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table({"pair": batch["pair"],
+                         "c": batch["sum(c)"].cast(pa.int64())})
 
-    # unigram counts (not micro-probs) — the same one-exchange reduce
-    def count_partial(batch: pa.Table) -> pa.Table:
-        flat, _ = _flat_tokens(batch[text_col])
-        vc = flat.to_pandas().value_counts()
-        return pa.table({
-            "term": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
-            "c": pa.array(vc.to_numpy(np.int64))})
+    bi_ds = (ds.map_batches(pair_partials, batch_format="pyarrow")
+             .groupby("pair").aggregate(Sum("c"))
+             .map_batches(rename_pairs, batch_format="pyarrow")
+             .materialize())
+    uni_ds, total, n_uni = _unigram_counts_ds(ds, text_col)
 
-    uni = (ds.map_batches(count_partial, batch_format="pyarrow")
-           .groupby("term").aggregate(Sum("c")).to_pandas())
-    total = float(uni["sum(c)"].sum())
-    cmap = pd.Series(uni["sum(c)"].to_numpy(np.float64),
-                     index=uni["term"])
+    from .vocab_join import MAX_BROADCAST_VOCAB, bucketed_micro_sum
+    limit = (MAX_BROADCAST_VOCAB if max_broadcast_vocab is None
+             else max_broadcast_vocab)
+    # unseen pair (scoring a different corpus): back off to the unigram
+    # interpolation floor using c12=0 — per-w2 value; approximate with the
+    # corpus-level floor ln((1-λ)·0.5/T) (never triggers on self-scoring)
+    oov = int(np.floor(np.log((1.0 - lam) * 0.5 / total) * 1e6 + 0.5))
+
+    if bi_ds.count() > limit:
+        if n_uni > limit:
+            raise ValueError(
+                f"unigram vocab ({n_uni} terms) exceeds the broadcast "
+                f"limit ({limit}); the interpolated bigram LM needs the "
+                "unigram table on every worker — prune the corpus "
+                "vocabulary upstream")
+        uni = uni_ds.to_pandas()
+        uref = ray.put((uni["term"].to_numpy(dtype=object),
+                        uni["c"].to_numpy(np.float64)))
+
+        class _PairMicro:
+            """(pair, c12) batches → (key, micro) against the broadcast
+            unigram counts; per-actor hash index, built once."""
+
+            def __init__(self):
+                terms, cnt = ray.get(uref)
+                self.index = pd.Index(terms)
+                self.cnt = cnt
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                prs = batch["pair"].to_pandas()
+                c12 = batch["c"].to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                w1 = prs.str.split(_SEP).str[0]
+                w2 = prs.str.split(_SEP).str[1]
+                c1 = self.cnt[self.index.get_indexer(w1)]
+                c2 = self.cnt[self.index.get_indexer(w2)]
+                p = lam * c12 / c1 + (1.0 - lam) * c2 / total
+                micro = np.floor(np.log(p) * 1e6 + 0.5).astype(np.int64)
+                return pa.table({"key": batch["pair"],
+                                 "micro": pa.array(micro)})
+
+        pair_micro = bi_ds.map_batches(_PairMicro, batch_format="pyarrow",
+                                       concurrency=concurrency)
+        units = ds.map_batches(_explode_pairs(id_col, text_col),
+                               batch_format="pyarrow")
+        sums = bucketed_micro_sum(units, pair_micro, oov)
+        return sums.map_batches(
+            _finish_lm_scores("n_pairs", "avg_logprob", with_ppl=True),
+            batch_format="pyarrow")
+
+    bi = bi_ds.to_pandas().rename(columns={"c": "sum(c)"})
+    uni = uni_ds.to_pandas()
+    cmap = pd.Series(uni["c"].to_numpy(np.float64), index=uni["term"])
     w1 = bi["pair"].str.split(_SEP).str[0]
     w2 = bi["pair"].str.split(_SEP).str[1]
     c12 = bi["sum(c)"].to_numpy(np.float64)
@@ -666,10 +932,6 @@ def bigram_lm_perplexity(ds, text_col: str = "text",
     c2 = cmap.reindex(w2).to_numpy(np.float64)
     p = lam * c12 / c1 + (1.0 - lam) * c2 / total
     micro = np.floor(np.log(p) * 1e6 + 0.5).astype(np.int64)
-    # unseen pair (scoring a different corpus): back off to the unigram
-    # interpolation floor using c12=0 — per-w2 value; approximate with the
-    # corpus-level floor ln((1-λ)·0.5/T) (never triggers on self-scoring)
-    oov = int(np.floor(np.log((1.0 - lam) * 0.5 / total) * 1e6 + 0.5))
     bref = ray.put((bi["pair"].to_numpy(dtype=object), micro))
 
     class _BiScore:
@@ -751,13 +1013,16 @@ def chunk_boundaries(ds, chunk_tokens: int = 64, text_col: str = "text",
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def _df_micro_idf(ds, text_col: str):
-    """One exchange → (terms, micro_idf int64, N). Pass-1 partials are
-    batch-local distinct-(doc,term) counts (batch-vocabulary-sized) plus a
-    sentinel row (term='', df=docs-in-batch) so document count N rides the
-    same reduce; '' can never be a token (whitespace split drops empties).
-    ``micro_idf = floor(ln(N/df)·1e6 + 0.5)`` — the repo's fixed-point
-    log convention, replayed exactly by the SQL oracle."""
+def _df_counts_ds(ds, text_col: str):
+    """One exchange → (materialized Dataset (term, df int64), N docs,
+    vocab rows). Pass-1 partials are batch-local distinct-(doc,term)
+    counts (batch-vocabulary-sized) plus a sentinel row (term='',
+    df=docs-in-batch) so document count N rides the same reduce; '' can
+    never be a token (whitespace split drops empties). The reduced table
+    stays in the object store so :func:`tfidf_keywords` can decide
+    broadcast-vs-join after seeing its size. ``micro_idf =
+    floor(ln(N/df)·1e6 + 0.5)`` — the repo's fixed-point log convention,
+    replayed exactly by the SQL oracle."""
     import pandas as pd
     from ray.data.aggregate import Sum
 
@@ -780,13 +1045,25 @@ def _df_micro_idf(ds, text_col: str):
             "term": pa.array(terms, pa.string()),
             "df": pa.array(np.concatenate([dfp, [counts.size]]))})
 
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"term": batch["term"],
+                         "df": batch["sum(df)"].cast(pa.int64())})
+
     red = (ds.map_batches(df_partial, batch_format="pyarrow")
-           .groupby("term").aggregate(Sum("df")).to_pandas())
-    is_sent = red["term"] == ""
-    n_docs = int(red.loc[is_sent, "sum(df)"].iloc[0])
-    red = red[~is_sent]
-    terms = red["term"].to_numpy(dtype=object)
-    df = red["sum(df)"].to_numpy(np.float64)
+           .groupby("term").aggregate(Sum("df"))
+           .map_batches(rename, batch_format="pyarrow")
+           .materialize())
+    n_docs = int(red.filter(expr="term == ''").take(1)[0]["df"])
+    return red.filter(expr="term != ''"), n_docs, red.count() - 1
+
+
+def _df_micro_idf(ds, text_col: str):
+    """Driver-array form of :func:`_df_counts_ds` for the broadcast
+    path → (terms, micro_idf int64, N)."""
+    vocab, n_docs, _n = _df_counts_ds(ds, text_col)
+    pdf = vocab.to_pandas()
+    terms = pdf["term"].to_numpy(dtype=object)
+    df = pdf["df"].to_numpy(np.float64)
     micro = np.floor(np.log(n_docs / df) * 1e6 + 0.5).astype(np.int64)
     return terms, micro, n_docs
 
@@ -843,7 +1120,8 @@ class _TfidfStage:
 
 
 def tfidf_keywords(ds, k: int = 5, text_col: str = "text",
-                   id_col: str = "doc_id", concurrency=(1, 4)):
+                   id_col: str = "doc_id", concurrency=(1, 4),
+                   max_broadcast_vocab: int | None = None):
     """Top-k tf-idf keywords per document → (doc_id, term, tf, score),
     ``score = tf · floor(ln(N/df)·1e6+0.5)/1e6`` ranked per doc by
     (score desc, term asc); empty docs yield no rows.
@@ -854,10 +1132,64 @@ def tfidf_keywords(ds, k: int = 5, text_col: str = "text",
     ``ray.put``; pass 2 recomputes per-doc tf in-batch and ranks — a doc
     is one row, so the top-k selection is batch-local and the scored
     (doc, term) stream never crosses an exchange. Fixed-point micro-idf
-    keeps scores bit-stable under any partitioning and SQL-replayable."""
+    keeps scores bit-stable under any partitioning and SQL-replayable.
+
+    Detect-and-switch: past ``max_broadcast_vocab`` the (term, df) table
+    stays distributed, idf resolution becomes the bucketed join in
+    :mod:`.vocab_join` and the per-doc top-k a
+    :func:`~.relational.topk_per_group` — bit-identical rows at the cost
+    of exchanging the scored (doc, term) stream, the honest price when
+    the vocab can't fit one node."""
     import ray
 
-    terms, micro, _n = _df_micro_idf(ds, text_col)
+    from .vocab_join import MAX_BROADCAST_VOCAB, resolve_micro
+
+    limit = (MAX_BROADCAST_VOCAB if max_broadcast_vocab is None
+             else max_broadcast_vocab)
+    vocab, n_docs, n_vocab = _df_counts_ds(ds, text_col)
+
+    if n_vocab > limit:
+        from .relational import topk_per_group
+
+        def to_micro(batch: pa.Table) -> pa.Table:
+            df = batch["df"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            micro = np.floor(np.log(n_docs / df) * 1e6 + 0.5) \
+                .astype(np.int64)
+            return pa.table({"key": batch["term"],
+                             "micro": pa.array(micro)})
+
+        units = ds.map_batches(
+            _explode_terms(id_col, text_col, emit_sentinels=False),
+            batch_format="pyarrow")
+        resolved = resolve_micro(
+            units, vocab.map_batches(to_micro, batch_format="pyarrow"),
+            default_micro=0)
+
+        def score(batch: pa.Table) -> pa.Table:
+            tf = batch["tf"].to_numpy(zero_copy_only=False)
+            micro = batch["micro"].to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "score_micro", pa.array((tf * micro).astype(np.int64)))
+
+        top = topk_per_group(
+            resolved.map_batches(score, batch_format="pyarrow"),
+            ["doc_id"], "score_micro", k, descending=True,
+            tie_cols=["key"])
+
+        def finish(batch: pa.Table) -> pa.Table:
+            sm = batch["score_micro"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "term": batch["key"].cast(pa.string()),
+                "tf": batch["tf"].cast(pa.int64()),
+                "score": pa.array(sm / 1e6)})
+        return top.map_batches(finish, batch_format="pyarrow")
+
+    pdf = vocab.to_pandas()
+    terms = pdf["term"].to_numpy(dtype=object)
+    dfv = pdf["df"].to_numpy(np.float64)
+    micro = np.floor(np.log(n_docs / dfv) * 1e6 + 0.5).astype(np.int64)
     bref = ray.put((terms, micro))
 
     def project(batch: pa.Table) -> pa.Table:
