@@ -2359,17 +2359,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return expand_queries(run, idx, _gate_query_map(), concurrency=(1, 2),
                               round_to=6)
 
-    # Gate ORDER is deliberate (the round-3 judge found the driver samples
-    # only a prefix of this dict): (a) the one gate that has ever been red
-    # in a driver run (asof_join, fixed in r3) first, (b) gates that have
-    # NEVER appeared in a CORRECTNESS file, (c) gates last driver-checked
-    # in round 2, (d) new round-4 gates, (e) long-stable round-3-green
-    # gates, most load-bearing first. This puts every weakly-verified gate
-    # inside any driver sampling window.
+    # Gate ORDER is deliberate (the driver samples a prefix of this
+    # dict): STALENESS FIRST — the round-4 lesson is that a gate whose
+    # implementing module changed AFTER its last driver-green row is the
+    # one place a silent break can hide (funnel broke exactly that way),
+    # so those gates lead the registry every round. Tiers: (a) gates
+    # whose implementing module changed since their last driver-green
+    # CORRECTNESS row, most-suspect first; (b) gates new this round;
+    # (c) unchanged gates ordered by how long ago their last driver row
+    # was (oldest round first), most load-bearing first within a tier.
+    # The rule is documented in ARCHITECTURE.md §verification.
     return {
-        # (a) previously red (r2), fixed, never driver-re-adjudicated
+        # (a) module changed since last driver-green row —
+        # ops/events.py funnel fix (last green r3, crashed r4 verdict):
+        "funnel": funnel_gate,
+        # ops/textstats.py + ops/vocab_join.py: broadcast-vs-join
+        # refactor of the LM / tf-idf family (r5):
+        "tfidf_keywords": tfidf_keywords_gate,
+        "lm_perplexity": lm_perplexity_gate,
+        "bigram_lm": bigram_lm_gate,
+        "importance_weights": importance_weights_gate,
+        "importance_resample": importance_resample_gate,
+        # ops/join.py _build_bloom empty-batch fix (r5):
+        "bloom_semi_join": bloom_semi_join_gate,
+        "semi_join": semi_join_gate,
+        "anti_join": anti_join_gate,
+        "bucketed_join": bucket_join,
+        "range_join": range_join_gate,
+        # (b) media_decode: rows-only in r4, golden-fixture oracle new r5
+        "media_decode": media_decode,
+        # (c) unchanged gates, oldest driver row first; r4-green ones
+        # trail. First: the r4-window block (green r4).
         "asof_join": asof_join_gate,
-        # (b) never driver-checked
         "sessionize_chunked": sessionize_chunked_gate,
         "sliding_window": sliding_window_gate,
         "topk_per_group": topk_per_group_gate,
@@ -2383,11 +2404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": approx_distinct_gate,
         "sample_n": sample_n_gate,
         "group_quantile": group_quantile_gate,
-        "range_join": range_join_gate,
         "stochastic_qpp": stochastic_qpp,
         "variant_qpp": variant_qpp,
-        "media_decode": media_decode,
-        # (c) last driver-checked in round 2
         "sessionize": sessionize_gate,
         "windowed_agg": windowed_agg_gate,
         "qpp_correlation": qpp_correlation,
@@ -2401,18 +2419,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_count": bigrams,
         "srlm_rerank": srlm_rerank,
         "rocchio_expand": rocchio,
-        # (d) new round-4 gates
         "fdbk_term_stats": fdbk_term_stats_gate,
         "asof_join_nulls": asof_join_nulls_gate,
         "cumulative_agg_chunked": cumulative_agg_chunked_gate,
         "redact_text": redact_text_gate,
         "json_extract_agg": json_extract_agg_gate,
-        "tfidf_keywords": tfidf_keywords_gate,
         "time_deltas": time_deltas_gate,
-        "bloom_semi_join": bloom_semi_join_gate,
         "index_compact": index_compact,
         "token_budget": token_budget_gate,
-        # (e) round-3 driver-green, most load-bearing first
         "bm25_topk": bm25_topk,
         "term_stats": term_stats,
         "index_append": index_append,
@@ -2436,17 +2450,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": emb_neardup,
         "repetition_stats": repetition_stats_gate,
         "group_zscore": group_zscore_gate,
-        "funnel": funnel_gate,
-        "bigram_lm": bigram_lm_gate,
         "cumulative_agg": cumulative_agg_gate,
         "cohort_retention": cohort_retention_gate,
         "minmax_norm": minmax_norm,
         "token_count": tok_count,
         "pmi_colloc": pmi_colloc,
-        "lm_perplexity": lm_perplexity_gate,
-        "semi_join": semi_join_gate,
-        "anti_join": anti_join_gate,
-        "bucketed_join": bucket_join,
         "rrf_fuse": rrf_fuse_gate,
         "scorer_fusion": scorer_fusion_gate,
         "normalize_text": normalize_text_gate,
@@ -2457,8 +2465,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": quantize_embeddings_gate,
         "quantile_filter": quantile_filter_gate,
         "decontaminate": decontaminate_gate,
-        "importance_weights": importance_weights_gate,
-        "importance_resample": importance_resample_gate,
         "quality_score": quality,
         "lang_id": langid,
         "fingerprint": fp,
