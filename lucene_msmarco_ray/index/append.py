@@ -88,10 +88,20 @@ def _id_bounds(meta_files: list[str], id_col: str) -> tuple[int, int]:
 def append_documents(index_dir: str, ds, *, text_col: str = "text",
                      id_col: str = "doc_id", key_col: str | None = None,
                      input_lineage: str | None = None,
-                     pid: str | None = None) -> dict:
+                     pid: str | None = None,
+                     auto_compact_ratio: float | None = 4.0) -> dict:
     """Append ``ds``'s documents to the index at ``index_dir``.
 
     Returns the updated stats dict (also persisted to ``stats.json``).
+
+    Auto-compaction (the Lucene merge-policy analog): after the splice,
+    when the mean posting-run count per (term, shard, salt) — measured
+    exactly by :func:`~.compact.fragmentation` at O(vocab · runs) cost —
+    exceeds ``auto_compact_ratio``, :func:`~.compact.compact_index` runs
+    in place, so continuous ingestion is self-maintaining instead of
+    accruing unbounded read-time run-concat debt. Compaction is
+    bit-identical for search, so the only observable effect is the fold.
+    Pass ``None`` to disable (manual compaction only).
     """
     man = Manifest(os.path.join(index_dir, "manifest.json"))
     params = man.data.get("params")
@@ -185,4 +195,12 @@ def append_documents(index_dir: str, ds, *, text_col: str = "text",
     man.save()
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
+
+    if auto_compact_ratio is not None:
+        from .compact import compact_index, fragmentation
+        rows, unique = fragmentation(seg_dir)
+        if unique and rows / unique > auto_compact_ratio:
+            compact_index(index_dir)
+            with open(os.path.join(index_dir, "stats.json")) as f:
+                stats = json.load(f)
     return stats

@@ -298,3 +298,102 @@ def test_compact_after_appends_is_bit_identical(ray_session,
     st = json.load(open(os.path.join(idx, "stats.json")))
     assert st["num_docs"] == 500
     assert runs(IndexReader(idx, preload=True))  # still searchable
+
+
+def test_compact_sentinel_blocks_reader_mid_swap(ray_session,
+                                                 tmp_path_factory):
+    """A reader opening inside compaction's swap window (backup present,
+    segments missing, sentinel naming a LIVE pid) must raise rather than
+    restore the backup out from under the writer; once the sentinel pid
+    is dead, the same open auto-recovers as before."""
+    import json as _json
+    import shutil
+    import socket
+    import subprocess
+    import sys
+
+    import pytest
+
+    from lucene_msmarco_ray.index.build import build_index
+    from lucene_msmarco_ray.index.compact import _sentinel_path
+    from lucene_msmarco_ray.search.searcher import IndexReader
+    out = tmp_path_factory.mktemp("sentinel")
+    files = generate_corpus(120, seed=9, n_files=2, out_dir=str(out))
+    idx = str(out / "idx")
+    cfg = EngineConfig(analyzer="english", num_shards=1)
+    build_index(read_code_corpus(files), idx, cfg, text_col="content",
+                id_col="doc_id", key_col="doc_key")
+    seg = os.path.join(idx, "segments")
+
+    # simulate the mid-swap window with a live writer: this process
+    shutil.move(seg, seg + ".pre-compact")
+    with open(_sentinel_path(idx), "w") as f:
+        _json.dump({"pid": os.getpid(), "host": socket.gethostname()}, f)
+    with pytest.raises(RuntimeError, match="in progress"):
+        IndexReader(idx, preload=True)
+    assert not os.path.isdir(seg)            # backup untouched
+
+    # dead writer: pick a pid that certainly isn't running
+    p = subprocess.Popen([sys.executable, "-c", "pass"])
+    p.wait()
+    with open(_sentinel_path(idx), "w") as f:
+        _json.dump({"pid": p.pid, "host": socket.gethostname()}, f)
+    r = IndexReader(idx, preload=True)
+    assert os.path.isdir(seg) and r is not None
+
+
+def test_auto_compaction_triggers_exactly_once(ray_session,
+                                               tmp_path_factory):
+    """Continuous ingestion with auto_compact_ratio: chained appends into
+    ONE salt bucket grow runs/term by ~1 per append; the trigger fires
+    the first time the exact fragmentation ratio crosses the threshold,
+    folds runs back to 1/term, and later appends stay under it — exactly
+    one compaction, search bit-identical to the one-shot build."""
+    from collections import Counter
+
+    from lucene_msmarco_ray.analysis import get_analyzer
+    from lucene_msmarco_ray.index.compact import fragmentation
+    from lucene_msmarco_ray.index.manifest import Manifest
+
+    d = tmp_path_factory.mktemp("autosynth")
+    files = generate_corpus(300, seed=17, n_files=3, out_dir=str(d))
+    # one shard, one salt bucket → every append splices runs into the
+    # SAME (shard, salt) dir, so fragmentation actually accrues
+    cfg = EngineConfig(analyzer="english", num_shards=1, block_size=32,
+                       salt_docs_per_bucket=10_000)
+    full_dir = str(tmp_path_factory.mktemp("aidx") / "full")
+    build_index(read_code_corpus(files), full_dir, cfg,
+                text_col="content", id_col="doc_id", key_col="doc_key")
+    app_dir = str(tmp_path_factory.mktemp("aidx") / "auto")
+    build_index(read_code_corpus(files).filter(expr="doc_id < 120"),
+                app_dir, cfg, text_col="content", id_col="doc_id",
+                key_col="doc_key")
+
+    n_compactions = []
+    for i, (lo, hi) in enumerate([(120, 180), (180, 240), (240, 300)]):
+        delta = read_code_corpus(files).filter(
+            expr=f"doc_id >= {lo} and doc_id < {hi}")
+        append_documents(app_dir, delta, text_col="content",
+                         id_col="doc_id", key_col="doc_key",
+                         pid=f"a{i}", input_lineage=f"auto-v{i}",
+                         auto_compact_ratio=2.0)
+        man = Manifest(os.path.join(app_dir, "manifest.json"))
+        n_compactions.append(len(man.data.get("compactions", [])))
+        rows, unique = fragmentation(os.path.join(app_dir, "segments"))
+        assert rows / unique <= 2.0   # invariant the trigger maintains
+
+    # threshold crossed exactly once across the chain
+    assert max(n_compactions) == 1 and n_compactions[-1] == 1
+
+    an = get_analyzer("english")
+    rf = IndexReader(full_dir, preload=True)
+    ra = IndexReader(app_dir, preload=True)
+    sc = BM25Scorer(k1=0.7, b=0.3)
+    for row in generate_queries(10, seed=29).to_pylist():
+        q = {t: float(c) for t, c in Counter(an(row["text"])).items()}
+        if not q:
+            continue
+        ids_f, s_f = score_query_taat(rf, q, 10, sc)
+        ids_a, s_a = score_query_taat(ra, q, 10, sc)
+        assert list(ids_f) == list(ids_a)
+        assert list(s_f) == list(s_a)
