@@ -2497,6 +2497,15 @@ FROM toks2 GROUP BY term""",
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
 FROM toks2 GROUP BY term""",
 
+        # media_decode's inputs are synthesized deterministically (sf-
+        # independent) and the PNG/WAV/MP4 decode is pure arithmetic, so
+        # its oracle is a precomputed golden-feature parquet committed to
+        # the repo (fixtures/README.md documents regeneration); this
+        # upgrades the one rows-only gate to rows+schema+hash like the
+        # rest of the board.
+        "media_decode": """SELECT media_id, kind, checksum
+FROM read_parquet('/root/repo/fixtures/media_decode_golden.parquet')""",
+
         "doc_stats": f"""WITH {_TOKS}
 SELECT doc_id, count(*)::BIGINT AS doc_len FROM toks2 GROUP BY doc_id""",
 
