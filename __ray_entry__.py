@@ -1441,6 +1441,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
         return unigram_lm_perplexity(ds, concurrency=2)
 
+    def lm_perplexity_join_gate(sf_dir: str):
+        """The SAME unigram-LM scores through the huge-vocab bucketed-
+        join path (ops/vocab_join.py): max_broadcast_vocab=1 forces the
+        detect-and-switch every real corpus would hit only past 4M vocab
+        rows, so the driver adjudicates the fallback's bit-identity
+        against the IDENTICAL oracle as `lm_perplexity`."""
+        from lucene_msmarco_ray.ops.textstats import unigram_lm_perplexity
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
+        return unigram_lm_perplexity(ds, concurrency=2,
+                                     max_broadcast_vocab=1)
+
+    def tfidf_keywords_join_gate(sf_dir: str):
+        """tfidf_keywords through the forced bucketed-join path — same
+        oracle as `tfidf_keywords`, adjudicating the fallback's
+        bit-identity (idf resolve via vocab_join.resolve_micro + the
+        per-doc top-k via topk_per_group instead of batch-local)."""
+        from lucene_msmarco_ray.ops.textstats import tfidf_keywords
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
+        return tfidf_keywords(ds, k=5, max_broadcast_vocab=1)
+
     def repetition_stats_gate(sf_dir: str):
         """Gopher-style repetition filters: per-doc top-bigram and
         duplicated-trigram occupancy, vectorized 62-bit gram hashing —
@@ -2380,6 +2400,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm": bigram_lm_gate,
         "importance_weights": importance_weights_gate,
         "importance_resample": importance_resample_gate,
+        # (b) new round-5 gates: the forced bucketed-join (huge-vocab
+        # fallback) twins of the two broadcast textstats gates
+        "lm_perplexity_join": lm_perplexity_join_gate,
+        "tfidf_keywords_join": tfidf_keywords_join_gate,
         # ops/join.py _build_bloom empty-batch fix (r5):
         "bloom_semi_join": bloom_semi_join_gate,
         "semi_join": semi_join_gate,
@@ -2483,7 +2507,7 @@ def oracle_sql() -> dict[str, str]:
     pred_branches = " ".join(
         f"WHEN s_{l} = m THEN '{l}'" for l in langs)
 
-    return {
+    oracles = {
         "term_stats": f"""WITH {_TOKS}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
 FROM toks2 GROUP BY term""",
@@ -3193,3 +3217,8 @@ SELECT qid, term, round(wt, 6) AS weight FROM wts""",
     AS recon
 FROM documents""",
     }
+    # the forced bucketed-join gates must reproduce the broadcast gates
+    # bit-for-bit, so they share the SAME oracle strings
+    oracles["lm_perplexity_join"] = oracles["lm_perplexity"]
+    oracles["tfidf_keywords_join"] = oracles["tfidf_keywords"]
+    return oracles
