@@ -169,11 +169,14 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
 
 def _unigram_counts_ds(ds, text_col: str):
     """Reduce ``ds`` to its (term, c) count table WITHOUT bringing it to
-    the driver → (materialized Dataset (term, c int64), total tokens,
-    vocab rows). Batch-local token counts (batch-vocabulary-sized
-    partials) → ONE groupby exchange; the reduced table stays in the
-    object store so callers can decide broadcast-vs-join AFTER seeing
-    its size."""
+    the driver → (materialized Dataset (term, c int64), vocab rows).
+    Batch-local token counts (batch-vocabulary-sized partials) → ONE
+    groupby exchange; the reduced table stays in the object store so
+    callers can decide broadcast-vs-join AFTER seeing its size (count()
+    on the materialized result is block metadata, not a job). Total
+    tokens is NOT computed here: the broadcast path folds it from the
+    pandas pull it pays anyway, and only the huge-vocab join path pays a
+    distributed ``sum("c")``."""
     from ray.data.aggregate import Sum
 
     def count_partial(batch: pa.Table) -> pa.Table:
@@ -191,8 +194,7 @@ def _unigram_counts_ds(ds, text_col: str):
              .groupby("term").aggregate(Sum("c"))
              .map_batches(rename, batch_format="pyarrow")
              .materialize())
-    total = float(vocab.sum("c") or 0.0)
-    return vocab, total, vocab.count()
+    return vocab, vocab.count()
 
 
 def _micro_vocab_ds(vocab, total: float):
@@ -307,9 +309,10 @@ def _unigram_micro(ds, text_col: str):
     (term, cf) table is the only materialized object — bounded by
     vocabulary, never the token stream. micro =
     int64(floor(ln(cf/T)·1e6+0.5)); OOV = ln(0.5/T)."""
-    counts, total, _n = _unigram_counts_ds(ds, text_col)
+    counts, _n = _unigram_counts_ds(ds, text_col)
     vocab = counts.to_pandas()
     cf = vocab["c"].to_numpy(np.float64)
+    total = float(cf.sum())
     micro = np.floor(np.log(cf / total) * 1e6 + 0.5).astype(np.int64)
     terms = vocab["term"].to_numpy(dtype=object)
     oov_micro = int(np.floor(np.log(0.5 / total) * 1e6 + 0.5))
@@ -410,11 +413,12 @@ def unigram_lm_perplexity(ds, text_col: str = "text", id_col: str = "doc_id",
 
     limit = (MAX_BROADCAST_VOCAB if max_broadcast_vocab is None
              else max_broadcast_vocab)
-    counts, total, n_vocab = _unigram_counts_ds(ds, text_col)
-    oov_micro = int(np.floor(np.log(0.5 / total) * 1e6 + 0.5))
+    counts, n_vocab = _unigram_counts_ds(ds, text_col)
     target = score_ds if score_ds is not None else ds
 
     if n_vocab > limit:
+        total = float(counts.sum("c") or 0.0)     # join path only
+        oov_micro = int(np.floor(np.log(0.5 / total) * 1e6 + 0.5))
         units = target.map_batches(_explode_terms(id_col, text_col),
                                    batch_format="pyarrow")
         sums = bucketed_micro_sum(units, _micro_vocab_ds(counts, total),
@@ -425,6 +429,8 @@ def unigram_lm_perplexity(ds, text_col: str = "text", id_col: str = "doc_id",
 
     vocab = counts.to_pandas()
     cf = vocab["c"].to_numpy(np.float64)
+    total = float(cf.sum())
+    oov_micro = int(np.floor(np.log(0.5 / total) * 1e6 + 0.5))
     micro = np.floor(np.log(cf / total) * 1e6 + 0.5).astype(np.int64)
     terms = vocab["term"].to_numpy(dtype=object)
     bref = ray.put((terms, micro))
@@ -503,12 +509,14 @@ def importance_weights(ds, target, text_col: str = "text",
 
     limit = (MAX_BROADCAST_VOCAB if max_broadcast_vocab is None
              else max_broadcast_vocab)
-    t_counts, t_total, t_n = _unigram_counts_ds(target, text_col)
-    s_counts, s_total, s_n = _unigram_counts_ds(ds, text_col)
-    t_oov = int(np.floor(np.log(0.5 / t_total) * 1e6 + 0.5))
-    s_oov = int(np.floor(np.log(0.5 / s_total) * 1e6 + 0.5))
+    t_counts, t_n = _unigram_counts_ds(target, text_col)
+    s_counts, s_n = _unigram_counts_ds(ds, text_col)
 
     if max(t_n, s_n) > limit:
+        t_total = float(t_counts.sum("c") or 0.0)   # join path only
+        s_total = float(s_counts.sum("c") or 0.0)
+        t_oov = int(np.floor(np.log(0.5 / t_total) * 1e6 + 0.5))
+        s_oov = int(np.floor(np.log(0.5 / s_total) * 1e6 + 0.5))
         diff = vocab_diff(_micro_vocab_ds(s_counts, s_total),
                           _micro_vocab_ds(t_counts, t_total), t_oov)
         units = ds.map_batches(_explode_terms(id_col, text_col),
@@ -519,14 +527,16 @@ def importance_weights(ds, target, text_col: str = "text",
                               sum_col="logw_micro"),
             batch_format="pyarrow")
 
-    def _driver_micro(counts, total):
+    def _driver_micro(counts):
         pdf = counts.to_pandas()
         cf = pdf["c"].to_numpy(np.float64)
+        total = float(cf.sum())
         return (pdf["term"].to_numpy(dtype=object),
-                np.floor(np.log(cf / total) * 1e6 + 0.5).astype(np.int64))
+                np.floor(np.log(cf / total) * 1e6 + 0.5).astype(np.int64),
+                int(np.floor(np.log(0.5 / total) * 1e6 + 0.5)))
 
-    t_terms, t_micro = _driver_micro(t_counts, t_total)
-    s_terms, s_micro = _driver_micro(s_counts, s_total)
+    t_terms, t_micro, t_oov = _driver_micro(t_counts)
+    s_terms, s_micro, s_oov = _driver_micro(s_counts)
     pos = pd.Index(t_terms).get_indexer(pd.Index(s_terms))
     tgt_m = np.where(pos >= 0, t_micro[np.clip(pos, 0, None)],
                      np.int64(t_oov))
@@ -870,15 +880,11 @@ def bigram_lm_perplexity(ds, text_col: str = "text",
              .groupby("pair").aggregate(Sum("c"))
              .map_batches(rename_pairs, batch_format="pyarrow")
              .materialize())
-    uni_ds, total, n_uni = _unigram_counts_ds(ds, text_col)
+    uni_ds, n_uni = _unigram_counts_ds(ds, text_col)
 
     from .vocab_join import MAX_BROADCAST_VOCAB, bucketed_micro_sum
     limit = (MAX_BROADCAST_VOCAB if max_broadcast_vocab is None
              else max_broadcast_vocab)
-    # unseen pair (scoring a different corpus): back off to the unigram
-    # interpolation floor using c12=0 — per-w2 value; approximate with the
-    # corpus-level floor ln((1-λ)·0.5/T) (never triggers on self-scoring)
-    oov = int(np.floor(np.log((1.0 - lam) * 0.5 / total) * 1e6 + 0.5))
 
     if bi_ds.count() > limit:
         if n_uni > limit:
@@ -888,6 +894,15 @@ def bigram_lm_perplexity(ds, text_col: str = "text",
                 "unigram table on every worker — prune the corpus "
                 "vocabulary upstream")
         uni = uni_ds.to_pandas()
+        # both paths pull the unigram table to the driver anyway (the
+        # join path still broadcasts it), so total folds from pandas —
+        # no distributed sum job
+        total = float(uni["c"].sum())
+        # unseen pair (scoring a different corpus): back off to the
+        # unigram interpolation floor using c12=0 — per-w2 value;
+        # approximate with the corpus-level floor ln((1-λ)·0.5/T)
+        # (never triggers on self-scoring)
+        oov = int(np.floor(np.log((1.0 - lam) * 0.5 / total) * 1e6 + 0.5))
         uref = ray.put((uni["term"].to_numpy(dtype=object),
                         uni["c"].to_numpy(np.float64)))
 
@@ -924,6 +939,8 @@ def bigram_lm_perplexity(ds, text_col: str = "text",
 
     bi = bi_ds.to_pandas().rename(columns={"c": "sum(c)"})
     uni = uni_ds.to_pandas()
+    total = float(uni["c"].sum())
+    oov = int(np.floor(np.log((1.0 - lam) * 0.5 / total) * 1e6 + 0.5))
     cmap = pd.Series(uni["c"].to_numpy(np.float64), index=uni["term"])
     w1 = bi["pair"].str.split(_SEP).str[0]
     w2 = bi["pair"].str.split(_SEP).str[1]
@@ -1053,15 +1070,24 @@ def _df_counts_ds(ds, text_col: str):
            .groupby("term").aggregate(Sum("df"))
            .map_batches(rename, batch_format="pyarrow")
            .materialize())
-    n_docs = int(red.filter(expr="term == ''").take(1)[0]["df"])
-    return red.filter(expr="term != ''"), n_docs, red.count() - 1
+    # sentinel INCLUDED: extracting N here would cost a filter/take job;
+    # the broadcast path reads it from the pandas pull it pays anyway and
+    # only the huge-vocab join path pays the distributed filter
+    return red, red.count() - 1
+
+
+def _split_df_sentinel(pdf):
+    """(term, df) pandas WITH the sentinel row → (vocab rows, N docs)."""
+    is_sent = pdf["term"] == ""
+    n_docs = int(pdf.loc[is_sent, "df"].iloc[0])
+    return pdf[~is_sent], n_docs
 
 
 def _df_micro_idf(ds, text_col: str):
     """Driver-array form of :func:`_df_counts_ds` for the broadcast
     path → (terms, micro_idf int64, N)."""
-    vocab, n_docs, _n = _df_counts_ds(ds, text_col)
-    pdf = vocab.to_pandas()
+    red, _n = _df_counts_ds(ds, text_col)
+    pdf, n_docs = _split_df_sentinel(red.to_pandas())
     terms = pdf["term"].to_numpy(dtype=object)
     df = pdf["df"].to_numpy(np.float64)
     micro = np.floor(np.log(n_docs / df) * 1e6 + 0.5).astype(np.int64)
@@ -1146,10 +1172,14 @@ def tfidf_keywords(ds, k: int = 5, text_col: str = "text",
 
     limit = (MAX_BROADCAST_VOCAB if max_broadcast_vocab is None
              else max_broadcast_vocab)
-    vocab, n_docs, n_vocab = _df_counts_ds(ds, text_col)
+    red, n_vocab = _df_counts_ds(ds, text_col)
 
     if n_vocab > limit:
         from .relational import topk_per_group
+
+        # join path only: extract N + drop the sentinel distributed
+        n_docs = int(red.filter(expr="term == ''").take(1)[0]["df"])
+        vocab = red.filter(expr="term != ''")
 
         def to_micro(batch: pa.Table) -> pa.Table:
             df = batch["df"].to_numpy(zero_copy_only=False) \
@@ -1186,7 +1216,7 @@ def tfidf_keywords(ds, k: int = 5, text_col: str = "text",
                 "score": pa.array(sm / 1e6)})
         return top.map_batches(finish, batch_format="pyarrow")
 
-    pdf = vocab.to_pandas()
+    pdf, n_docs = _split_df_sentinel(red.to_pandas())
     terms = pdf["term"].to_numpy(dtype=object)
     dfv = pdf["df"].to_numpy(np.float64)
     micro = np.floor(np.log(n_docs / dfv) * 1e6 + 0.5).astype(np.int64)
