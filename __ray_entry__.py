@@ -1452,6 +1452,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return unigram_lm_perplexity(ds, concurrency=2,
                                      max_broadcast_vocab=1)
 
+    def bigram_lm_join_gate(sf_dir: str):
+        """The SAME interpolated bigram-LM scores through the FULLY
+        distributed two-level path: max_broadcast_vocab=0 keeps bigram
+        AND unigram vocab as Datasets, resolving per-pair c(w1)/c(w2)
+        via two vocab_join.lookup_micro exchanges — adjudicated against
+        the IDENTICAL oracle as `bigram_lm`."""
+        from lucene_msmarco_ray.ops.textstats import bigram_lm_perplexity
+        ds = _read16(sf_dir, "documents.parquet", ["doc_id", "text"])
+        return bigram_lm_perplexity(ds, lam=0.9, concurrency=2,
+                                    max_broadcast_vocab=0)
+
     def tfidf_keywords_join_gate(sf_dir: str):
         """tfidf_keywords through the forced bucketed-join path — same
         oracle as `tfidf_keywords`, adjudicating the fallback's
@@ -2404,6 +2415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fallback) twins of the two broadcast textstats gates
         "lm_perplexity_join": lm_perplexity_join_gate,
         "tfidf_keywords_join": tfidf_keywords_join_gate,
+        "bigram_lm_join": bigram_lm_join_gate,
         # ops/join.py _build_bloom empty-batch fix (r5):
         "bloom_semi_join": bloom_semi_join_gate,
         "semi_join": semi_join_gate,
@@ -3221,4 +3233,5 @@ FROM documents""",
     # bit-for-bit, so they share the SAME oracle strings
     oracles["lm_perplexity_join"] = oracles["lm_perplexity"]
     oracles["tfidf_keywords_join"] = oracles["tfidf_keywords"]
+    oracles["bigram_lm_join"] = oracles["bigram_lm"]
     return oracles

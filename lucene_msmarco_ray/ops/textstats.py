@@ -846,10 +846,12 @@ def bigram_lm_perplexity(ds, text_col: str = "text",
     Detect-and-switch: a bigram vocab past ``max_broadcast_vocab`` stays
     a distributed Dataset — per-pair micros are computed by a stateless
     actor pass over it (against the still-broadcastable UNIGRAM table)
-    and scoring flips to the bucketed join, bit-identical. If even the
-    unigram vocab exceeds the limit this raises ValueError: the
-    interpolated p(w2|w1) needs a two-level distributed join we don't
-    ship — prune the corpus vocabulary upstream first."""
+    and scoring flips to the bucketed join, bit-identical. When even the
+    unigram vocab exceeds the limit, per-pair c(w1) / c(w2) resolve
+    through TWO :func:`~.vocab_join.lookup_micro` exchanges over the
+    distributed unigram table instead (counts ride the micro slot) —
+    nothing is ever broadcast, still bit-identical to both other
+    paths."""
     import pandas as pd
     import ray
     from ray.data.aggregate import Sum
@@ -882,17 +884,73 @@ def bigram_lm_perplexity(ds, text_col: str = "text",
              .materialize())
     uni_ds, n_uni = _unigram_counts_ds(ds, text_col)
 
-    from .vocab_join import MAX_BROADCAST_VOCAB, bucketed_micro_sum
+    from .vocab_join import (MAX_BROADCAST_VOCAB, bucketed_micro_sum,
+                             lookup_micro)
     limit = (MAX_BROADCAST_VOCAB if max_broadcast_vocab is None
              else max_broadcast_vocab)
 
     if bi_ds.count() > limit:
         if n_uni > limit:
-            raise ValueError(
-                f"unigram vocab ({n_uni} terms) exceeds the broadcast "
-                f"limit ({limit}); the interpolated bigram LM needs the "
-                "unigram table on every worker — prune the corpus "
-                "vocabulary upstream")
+            # two-level distributed path: the UNIGRAM table also stays a
+            # Dataset. total folds from one Sum job; per-pair c(w1)/c(w2)
+            # resolve via two bucketed lookup exchanges; the per-pair
+            # float arithmetic below is the same expression as the
+            # broadcast paths, so micros (and hence scores) are
+            # bit-identical. Misses (scoring a corpus disjoint from the
+            # trained one) get count 1 — the same "never triggers on
+            # self-scoring" caveat as the pair-level oov floor.
+            total = float(uni_ds.sum("c"))
+            oov = int(np.floor(np.log((1.0 - lam) * 0.5 / total)
+                               * 1e6 + 0.5))
+
+            def as_kv(batch: pa.Table) -> pa.Table:
+                return pa.table({"key": batch["term"],
+                                 "micro": batch["c"].cast(pa.int64())})
+
+            uni_kv = uni_ds.map_batches(as_kv, batch_format="pyarrow")
+
+            def split_pair(batch: pa.Table) -> pa.Table:
+                prs = batch["pair"].to_pandas()
+                return pa.table({
+                    "pair": batch["pair"].combine_chunks().cast(pa.string()),
+                    "c12": batch["c"].cast(pa.int64()),
+                    "w1": pa.array(
+                        prs.str.split(_SEP).str[0].to_numpy(object),
+                        pa.string()),
+                    "w2": pa.array(
+                        prs.str.split(_SEP).str[1].to_numpy(object),
+                        pa.string())})
+
+            sch1 = pa.schema([pa.field("pair", pa.string()),
+                              pa.field("c12", pa.int64()),
+                              pa.field("w1", pa.string()),
+                              pa.field("w2", pa.string())])
+            sch2 = sch1.append(pa.field("__c1", pa.int64()))
+            pr = bi_ds.map_batches(split_pair, batch_format="pyarrow")
+            pr = lookup_micro(pr, "w1", uni_kv, out_col="__c1",
+                              default_micro=1, rows_schema=sch1)
+            pr = lookup_micro(pr, "w2", uni_kv, out_col="__c2",
+                              default_micro=1, rows_schema=sch2)
+
+            def to_micro(batch: pa.Table) -> pa.Table:
+                c12 = batch["c12"].to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                c1 = batch["__c1"].to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                c2 = batch["__c2"].to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                p = lam * c12 / c1 + (1.0 - lam) * c2 / total
+                micro = np.floor(np.log(p) * 1e6 + 0.5).astype(np.int64)
+                return pa.table({"key": batch["pair"],
+                                 "micro": pa.array(micro)})
+
+            pair_micro = pr.map_batches(to_micro, batch_format="pyarrow")
+            units = ds.map_batches(_explode_pairs(id_col, text_col),
+                                   batch_format="pyarrow")
+            sums = bucketed_micro_sum(units, pair_micro, oov)
+            return sums.map_batches(
+                _finish_lm_scores("n_pairs", "avg_logprob", with_ppl=True),
+                batch_format="pyarrow")
         uni = uni_ds.to_pandas()
         # both paths pull the unigram table to the driver anyway (the
         # join path still broadcasts it), so total folds from pandas —

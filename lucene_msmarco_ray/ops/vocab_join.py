@@ -216,3 +216,85 @@ def _retag_as_units(vocab, num_buckets: int):
         ], schema=_UNIT_SCHEMA)
     f.__name__ = "tag_tgt_vocab"
     return vocab.map_batches(f, batch_format="pyarrow")
+
+
+def lookup_micro(rows, key_col: str, vocab, out_col: str = "micro",
+                 default_micro: int = 0, num_buckets: int = 64,
+                 rows_schema: pa.Schema | None = None):
+    """Generic broadcast-free lookup join: append ``vocab``'s int64
+    ``micro`` value for ``rows[key_col]`` to every row of ``rows``
+    (``default_micro`` on a miss) through ONE bucketed hash exchange —
+    the large-table twin of a ``ray.put`` dict broadcast, for lookups
+    whose table can outgrow a worker heap (the two-level bigram-LM
+    path resolves per-pair c(w1) and c(w2) with two of these).
+
+    ``rows`` may carry any mix of string / large_string / integer /
+    float columns (both union sides are zero-filled into one explicit
+    schema — same no-null-padding rule as the unit path above);
+    ``key_col`` must be a string column. ``vocab`` is (key string,
+    micro int64). Output: ``rows``' columns plus ``out_col`` (int64),
+    row order arbitrary. Each bucket task holds 1/num_buckets of the
+    vocab plus its matching rows — neither side is ever whole anywhere.
+    Pass ``rows_schema`` when it is statically known — ``.schema()`` on
+    a lazy plan may otherwise trigger a partial execution just to infer
+    it.
+    """
+    base = rows_schema if rows_schema is not None \
+        else rows.schema().base_schema
+    names = list(base.names)
+    if out_col in names:
+        raise ValueError(f"rows already has a {out_col!r} column")
+    fields = [pa.field("__bucket", pa.int64()),
+              pa.field("__side", pa.int8())]
+    fields += [base.field(n) for n in names]
+    fields.append(pa.field("__lkm", pa.int64()))
+    schema = pa.schema(fields)
+
+    def _pad(n: int, typ: pa.DataType) -> pa.Array:
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return pa.array(np.full(n, "", object), typ)
+        return pa.array(np.zeros(n, np.int64)).cast(typ)
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = [pa.array(_hash_mod(batch[key_col], num_buckets)),
+                pa.array(np.zeros(n, np.int8))]
+        cols += [batch[c].combine_chunks() for c in names]
+        cols.append(pa.array(np.zeros(n, np.int64)))
+        return pa.Table.from_arrays(cols, schema=schema)
+
+    def tag_lookup(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = [pa.array(_hash_mod(batch["key"], num_buckets)),
+                pa.array(np.ones(n, np.int8))]
+        for c in names:
+            if c == key_col:
+                cols.append(batch["key"].cast(base.field(c).type))
+            else:
+                cols.append(_pad(n, base.field(c).type))
+        cols.append(batch["micro"].cast(pa.int64()))
+        return pa.Table.from_arrays(cols, schema=schema)
+
+    both = (rows.map_batches(tag_rows, batch_format="pyarrow")
+            .union(vocab.map_batches(tag_lookup, batch_format="pyarrow")))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["__side"].to_numpy()
+        vm = g[side == 1]
+        rm = g[side == 0]
+        if not len(rm):
+            out = rm[names].copy()
+            out[out_col] = np.empty(0, np.int64)
+            return out
+        pos = pd.Index(vm[key_col]).get_indexer(rm[key_col])
+        micro = np.where(
+            pos >= 0,
+            vm["__lkm"].to_numpy(np.int64)[np.clip(pos, 0, None)]
+            if len(vm) else np.int64(0),
+            np.int64(default_micro))
+        out = rm[names].copy()
+        out[out_col] = micro.astype(np.int64)
+        return out
+
+    return (both.groupby("__bucket")
+            .map_groups(resolve, batch_format="pandas"))

@@ -88,7 +88,7 @@ def test_bigram_ppl_fallback_parity(ray_session):
     from lucene_msmarco_ray.ops.textstats import bigram_lm_perplexity
     # bigram vocab (pairs) over limit, unigram vocab under it: pick the
     # limit between the two counts so the _PairMicro branch is the one
-    # exercised (unigram over-limit raises — tested separately).
+    # exercised (the fully distributed two-level path is tested separately).
     n_uni = len({t for d in CORPUS for t in d.split()})
     b = bigram_lm_perplexity(_docs(CORPUS), concurrency=1).to_pandas()
     f = bigram_lm_perplexity(_docs(CORPUS), concurrency=1,
@@ -97,11 +97,40 @@ def test_bigram_ppl_fallback_parity(ray_session):
     assert sorted(f["doc_id"]) == list(range(len(CORPUS)))
 
 
-def test_bigram_ppl_unigram_vocab_over_limit_raises(ray_session):
+def test_bigram_ppl_two_level_parity(ray_session):
+    """max_broadcast_vocab=0 forces the FULLY distributed path: bigram
+    AND unigram vocab both stay Datasets, c(w1)/c(w2) resolve through
+    two lookup_micro exchanges — output bit-identical to broadcast."""
     from lucene_msmarco_ray.ops.textstats import bigram_lm_perplexity
-    with pytest.raises(ValueError, match="unigram vocab"):
-        bigram_lm_perplexity(_docs(CORPUS), concurrency=1,
-                             max_broadcast_vocab=1).materialize()
+    b = bigram_lm_perplexity(_docs(CORPUS), concurrency=1).to_pandas()
+    f = bigram_lm_perplexity(_docs(CORPUS), concurrency=1,
+                             max_broadcast_vocab=0).to_pandas()
+    _parity(b, f)
+    assert sorted(f["doc_id"]) == list(range(len(CORPUS)))
+
+
+def test_lookup_micro_contract(ray_session):
+    """Direct lookup_micro check: rider columns (string + int64)
+    survive untouched, misses get default_micro, vocab-only buckets
+    emit nothing, and a key landing in every bucket still resolves."""
+    import ray.data as rd
+
+    from lucene_msmarco_ray.ops.vocab_join import lookup_micro
+
+    rows = rd.from_items([
+        {"k": f"t{i}", "tag": f"r{i}", "val": i} for i in range(40)
+    ] + [{"k": "miss", "tag": "m", "val": -1}], override_num_blocks=3)
+    vocab = rd.from_items(
+        [{"key": f"t{i}", "micro": 10 * i} for i in range(40)]
+        + [{"key": "unreferenced", "micro": 999}])
+    out = (lookup_micro(rows, "k", vocab, out_col="m", default_micro=-5,
+                        num_buckets=7)
+           .to_pandas().sort_values("val").reset_index(drop=True))
+    assert len(out) == 41
+    assert out.loc[0, "m"] == -5 and out.loc[0, "tag"] == "m"
+    got = out[out["val"] >= 0]
+    assert got["m"].tolist() == [10 * i for i in range(40)]
+    assert got["tag"].tolist() == [f"r{i}" for i in range(40)]
 
 
 def test_tfidf_keywords_fallback_parity(ray_session):
