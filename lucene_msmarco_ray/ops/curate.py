@@ -45,7 +45,6 @@ def curate_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
     including 'und'), ``min_uniq_ratio``, ``max_stop_ratio``,
     ``min_mean_token_len``.
     """
-    from ray.data.aggregate import Count, Min
 
     lang_keys = sorted(LANG_MARKERS)
     marker_sets = {lang: pa.array(sorted(LANG_MARKERS[lang]))
@@ -112,14 +111,18 @@ def curate_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
             "lang_pred": pa.array(preds[idx].astype(str), pa.string()),
         })
 
+    # coarse fold, not groupby().aggregate(): content_hash cardinality
+    # scales with the corpus, where Ray's per-row-Python block merge is
+    # the wrong reduce (15.7x measured at 2M hashes — see ops/fold.py)
+    from .fold import coarse_group_agg
     feats = ds.map_batches(features, batch_format="pyarrow")
-    agg = feats.groupby("content_hash").aggregate(
-        Min(id_col, alias_name=id_col),
-        Count(alias_name="dup_count"),
-        Min("n_tokens", alias_name="n_tokens"),
-        Min("stop_ratio", alias_name="stop_ratio"),
-        Min("mean_token_len", alias_name="mean_token_len"),
-        Min("uniq_ratio", alias_name="uniq_ratio"),
-        Min("lang_pred", alias_name="lang_pred"))
+    agg = coarse_group_agg(feats, ["content_hash"], [
+        (id_col, id_col, "min"),
+        ("dup_count", id_col, "size"),
+        ("n_tokens", "n_tokens", "min"),
+        ("stop_ratio", "stop_ratio", "min"),
+        ("mean_token_len", "mean_token_len", "min"),
+        ("uniq_ratio", "uniq_ratio", "min"),
+        ("lang_pred", "lang_pred", "min")])
     return agg.select_columns([id_col, "dup_count", "n_tokens", "stop_ratio",
                                "mean_token_len", "uniq_ratio", "lang_pred"])

@@ -206,18 +206,20 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     (hash, id) pairs; content never leaves the map stage. The hash is the
     repo's vectorized four-base polynomial family (124 bits — collision
     odds ~n²/2^125, negligible at 10^12 docs), not per-row md5: the hash
-    stage is pure numpy over the batch."""
-    from ray.data.aggregate import Count, Min
-
+    stage is pure numpy over the batch. The fold is
+    :func:`~.fold.coarse_group_agg` — content_hash cardinality scales
+    with the corpus, so Ray's per-row-Python aggregate merge is the
+    wrong reduce (15.7× measured, see fold.py)."""
     def add_hash(batch: pa.Table) -> pa.Table:
         hashes = content_hash_hex(batch[text_col].to_pylist())
         return pa.Table.from_arrays(
             [hashes, batch[id_col]], names=["content_hash", id_col])
 
+    from .fold import coarse_group_agg
     pairs = ds.map_batches(add_hash, batch_format="pyarrow")
-    return pairs.groupby("content_hash").aggregate(
-        Min(id_col, alias_name="doc_id"),
-        Count(alias_name="dup_count"))
+    return coarse_group_agg(pairs, ["content_hash"],
+                            [("doc_id", id_col, "min"),
+                             ("dup_count", id_col, "size")])
 
 
 def minhash_params(num_perm: int, seed: int = 13) -> tuple[np.ndarray, np.ndarray]:
@@ -913,13 +915,14 @@ def connected_components_distributed(pairs, a_col: str = "doc_a",
         u = np.unique(batch["node"].to_numpy(zero_copy_only=False))
         return pa.table({"node": pa.array(u), "label": pa.array(u)})
 
-    from ray.data.aggregate import Min
-    labels = (edges.map_batches(init_nodes, batch_format="pyarrow")
-              .groupby("node").aggregate(Min("label"))
-              .map_batches(lambda b: pa.table(
-                  {"node": b["node"], "label": b["min(label)"]}),
-                  batch_format="pyarrow")
-              .repartition(parts, shuffle=False).materialize())
+    # coarse fold, not groupby().aggregate(): node cardinality scales
+    # with the candidate-pair graph (ops/fold.py, 15.7x measured) — and
+    # the per-round fold below pays this EVERY propagation round
+    from .fold import coarse_group_agg
+    labels = (coarse_group_agg(
+        edges.map_batches(init_nodes, batch_format="pyarrow"),
+        ["node"], [("label", "label", "min")])
+        .repartition(parts, shuffle=False).materialize())
     labels = _snapshot(labels)
     total = labels.sum("label")
 
@@ -957,11 +960,8 @@ def connected_components_distributed(pairs, a_col: str = "doc_a",
 
         cand = sent.map_batches(to_cand, batch_format="pyarrow")
         labels = _snapshot(
-            cand.union(labels).groupby("node")
-            .aggregate(Min("label"))
-            .map_batches(lambda b: pa.table(
-                {"node": b["node"], "label": b["min(label)"]}),
-                batch_format="pyarrow")
+            coarse_group_agg(cand.union(labels), ["node"],
+                             [("label", "label", "min")])
             .repartition(parts, shuffle=False).materialize())
         new_total = labels.sum("label")
         # shortcut-only inner rounds: each exchanges ONLY the label table

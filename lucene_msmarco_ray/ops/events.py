@@ -450,12 +450,16 @@ def cumulative_agg_chunked(ds, chunk_seconds: int = 86_400,
             "off_cents": csc - cents - base_c})
 
     exclusive_prefix.__name__ = "chunk_exclusive_prefix"
-    from ray.data.aggregate import Sum
-    offsets = (ds.map_batches(chunk_partials, batch_format="pyarrow")
-               .groupby(["user_id", "chunk"]).aggregate(Sum("n"), Sum("c"))
-               .map_batches(user_part, batch_format="pyarrow")
-               .groupby("__p1").map_groups(exclusive_prefix,
-                                           batch_format="pandas"))
+    # coarse fold, not groupby().aggregate(): (user, chunk) cardinality
+    # scales with the event stream (ops/fold.py, 15.7x measured)
+    from .fold import coarse_group_agg
+    offsets = (coarse_group_agg(
+        ds.map_batches(chunk_partials, batch_format="pyarrow"),
+        ["user_id", "chunk"],
+        [("sum(n)", "n", "sum"), ("sum(c)", "c", "sum")])
+        .map_batches(user_part, batch_format="pyarrow")
+        .groupby("__p1").map_groups(exclusive_prefix,
+                                    batch_format="pandas"))
 
     # ---- pass 2: events + offsets share one hash(key, chunk) exchange
     def _kc_part(u: np.ndarray, c: np.ndarray) -> np.ndarray:

@@ -199,22 +199,20 @@ def detect_hot_keys(ds, key: str, threshold: int) -> list:
     pre-aggregated before the one (key, partial) exchange, so the shuffle
     is batch-vocabulary-sized; only the (tiny) over-threshold list reaches
     the driver."""
-    from ray.data.aggregate import Sum
-
     def partial(batch: pa.Table) -> pa.Table:
         vc = batch[key].to_pandas().value_counts()
         return pa.table({key: pa.array(vc.index.to_numpy()),
                          "c": pa.array(vc.to_numpy(np.int64))})
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table({key: batch[key], "c": batch["sum(c)"]})
-
-    hot = (ds.select_columns([key])
-           .map_batches(partial, batch_format="pyarrow")
-           .groupby(key).aggregate(Sum("c"))
-           .map_batches(rename, batch_format="pyarrow")
-           .filter(expr=f"c > {int(threshold)}")
-           .to_pandas())
+    # coarse fold, not groupby().aggregate(): distinct-join-key
+    # cardinality scales with the data (ops/fold.py, 15.7x measured)
+    from .fold import coarse_group_agg
+    hot = (coarse_group_agg(
+        ds.select_columns([key])
+        .map_batches(partial, batch_format="pyarrow"),
+        [key], [("c", "c", "sum")])
+        .filter(expr=f"c > {int(threshold)}")
+        .to_pandas())
     return sorted(hot[key].tolist())
 
 

@@ -447,8 +447,6 @@ def rrf_fuse(runs, k_rrf: int = 60, group_col: str = "qid",
 
     ``runs``: list of Datasets each holding (group_col, item_col,
     rank_col) with 1-based ranks."""
-    from ray.data.aggregate import Sum
-
     big = np.int64(10 ** 12)
 
     def contrib(batch: pa.Table) -> pa.Table:
@@ -462,18 +460,12 @@ def rrf_fuse(runs, k_rrf: int = 60, group_col: str = "qid",
 
     parts = [r.map_batches(contrib, batch_format="pyarrow") for r in runs]
     unioned = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
-    agg = unioned.groupby([group_col, item_col]) \
-        .aggregate(Sum("m"), Sum("n"))
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            group_col: batch[group_col],
-            item_col: batch[item_col],
-            "rrf_micro": batch["sum(m)"].cast(pa.int64()),
-            "n_runs": batch["sum(n)"].cast(pa.int64()),
-        })
-
-    fused = agg.map_batches(rename, batch_format="pyarrow")
+    # coarse fold, not groupby().aggregate(): (group, item) cardinality is
+    # run-sized (ops/fold.py, 15.7x measured at corpus-scale keys)
+    from .fold import coarse_group_agg
+    fused = coarse_group_agg(
+        unioned, [group_col, item_col],
+        [("rrf_micro", "m", "sum"), ("n_runs", "n", "sum")])
     if topk is None:
         return fused
     return topk_per_group(fused, [group_col], "rrf_micro", topk,

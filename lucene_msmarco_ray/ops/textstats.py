@@ -186,14 +186,13 @@ def _unigram_counts_ds(ds, text_col: str):
             "term": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
             "c": pa.array(vc.to_numpy(np.int64))})
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table({"term": batch["term"],
-                         "c": batch["sum(c)"].cast(pa.int64())})
-
-    vocab = (ds.map_batches(count_partial, batch_format="pyarrow")
-             .groupby("term").aggregate(Sum("c"))
-             .map_batches(rename, batch_format="pyarrow")
-             .materialize())
+    # coarse fold, not groupby().aggregate(): on unbounded-vocabulary
+    # corpora the term key scales with the data, where Ray's
+    # per-row-Python block merge is the wrong reduce (ops/fold.py)
+    from .fold import coarse_group_agg
+    vocab = (coarse_group_agg(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["term"], [("c", "c", "sum")]).materialize())
     return vocab, vocab.count()
 
 
@@ -660,8 +659,10 @@ def pmi_collocations(ds, text_col: str = "text", min_count: int = 2):
                          "y": pa.array(np.concatenate(ys), pa.string()),
                          "n": pa.array(np.concatenate(ns), pa.int64())})
 
-    counts = (ds.map_batches(partials, batch_format="pyarrow")
-              .groupby(["x", "y"]).aggregate(Sum("n")).materialize())
+    from .fold import coarse_group_agg
+    counts = coarse_group_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["x", "y"], [("sum(n)", "n", "sum")]).materialize()
     uni = counts.filter(expr="y == ''").to_pandas()
     total_t = float(uni["sum(n)"].sum())
     total_b = float(counts.filter(expr="y != ''").sum("sum(n)") or 0)
@@ -874,14 +875,10 @@ def bigram_lm_perplexity(ds, text_col: str = "text",
             "pair": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
             "c": pa.array(vc.to_numpy(np.int64))})
 
-    def rename_pairs(batch: pa.Table) -> pa.Table:
-        return pa.table({"pair": batch["pair"],
-                         "c": batch["sum(c)"].cast(pa.int64())})
-
-    bi_ds = (ds.map_batches(pair_partials, batch_format="pyarrow")
-             .groupby("pair").aggregate(Sum("c"))
-             .map_batches(rename_pairs, batch_format="pyarrow")
-             .materialize())
+    from .fold import coarse_group_agg
+    bi_ds = (coarse_group_agg(
+        ds.map_batches(pair_partials, batch_format="pyarrow"),
+        ["pair"], [("c", "c", "sum")]).materialize())
     uni_ds, n_uni = _unigram_counts_ds(ds, text_col)
 
     from .vocab_join import (MAX_BROADCAST_VOCAB, bucketed_micro_sum,
@@ -1120,14 +1117,10 @@ def _df_counts_ds(ds, text_col: str):
             "term": pa.array(terms, pa.string()),
             "df": pa.array(np.concatenate([dfp, [counts.size]]))})
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table({"term": batch["term"],
-                         "df": batch["sum(df)"].cast(pa.int64())})
-
-    red = (ds.map_batches(df_partial, batch_format="pyarrow")
-           .groupby("term").aggregate(Sum("df"))
-           .map_batches(rename, batch_format="pyarrow")
-           .materialize())
+    from .fold import coarse_group_agg
+    red = (coarse_group_agg(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        ["term"], [("df", "df", "sum")]).materialize())
     # sentinel INCLUDED: extracting N here would cost a filter/take job;
     # the broadcast path reads it from the pandas pull it pays anyway and
     # only the huge-vocab join path pays the distributed filter

@@ -192,6 +192,55 @@ def run_tfidf(files: list[str], n_docs: int) -> dict:
     return out
 
 
+def run_lm_paths(files: list[str], n_docs: int) -> dict:
+    """Part E: broadcast vs forced bucketed-join LM scoring at N docs —
+    the measured cost of the huge-vocab fallback (ops/vocab_join.py).
+    On real unbounded-vocabulary corpora the switch is automatic; this
+    forces it (max_broadcast_vocab=1) on the same input so the two
+    paths' throughputs are directly comparable."""
+    from lucene_msmarco_ray.ops.textstats import (tfidf_keywords,
+                                                  unigram_lm_perplexity)
+    from lucene_msmarco_ray.sources.corpus import read_code_corpus
+
+    out = {}
+    t0 = time.time()
+    res = unigram_lm_perplexity(
+        read_code_corpus(files, columns=["content"]),
+        text_col="content", id_col="doc_id", concurrency=(1, 16))
+    out["lm_broadcast_rows"] = res.count()
+    out["lm_broadcast_sec"] = round(time.time() - t0, 2)
+    out["lm_broadcast_docs_per_sec"] = round(
+        n_docs / out["lm_broadcast_sec"], 1)
+    print(json.dumps({"phase": "lm_broadcast", **out}), file=sys.stderr,
+          flush=True)
+
+    t0 = time.time()
+    res = unigram_lm_perplexity(
+        read_code_corpus(files, columns=["content"]),
+        text_col="content", id_col="doc_id", concurrency=(1, 16),
+        max_broadcast_vocab=1)
+    out["lm_join_rows"] = res.count()
+    out["lm_join_sec"] = round(time.time() - t0, 2)
+    out["lm_join_docs_per_sec"] = round(n_docs / out["lm_join_sec"], 1)
+    out["lm_join_peak_heap_mib"] = peak_heap_mib(res)
+    out["lm_join_overhead_x"] = round(
+        out["lm_join_sec"] / out["lm_broadcast_sec"], 2)
+    print(json.dumps({"phase": "lm_join", **out}), file=sys.stderr,
+          flush=True)
+    print(res.stats()[-3000:], file=sys.stderr, flush=True)
+
+    t0 = time.time()
+    res = tfidf_keywords(read_code_corpus(files, columns=["content"]),
+                         k=5, text_col="content", id_col="doc_id",
+                         concurrency=(1, 16), max_broadcast_vocab=1)
+    out["tfidf_join_rows"] = res.count()
+    out["tfidf_join_sec"] = round(time.time() - t0, 2)
+    out["tfidf_join_docs_per_sec"] = round(
+        n_docs / out["tfidf_join_sec"], 1)
+    out["tfidf_join_peak_heap_mib"] = peak_heap_mib(res)
+    return out
+
+
 def run_compaction(files: list[str], n_docs: int) -> dict:
     """Part D: append fragmentation + compaction at N docs — build on 90%,
     append the tail, compact; segment-row reduction, compact wall time,
@@ -248,8 +297,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--queries", type=int, default=1000)
-    ap.add_argument("--part", default="AB", choices=["A", "B", "AB", "C",
-                                                     "ABC", "D", "ABCD"])
+    ap.add_argument("--part", default="AB",
+                    choices=["A", "B", "AB", "C", "ABC", "D", "ABCD", "E"])
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -276,6 +325,8 @@ def main():
         res["tfidf"] = run_tfidf(files, args.docs)
     if "D" in args.part:
         res["compaction"] = run_compaction(files, args.docs)
+    if "E" in args.part:
+        res["lm_paths"] = run_lm_paths(files, args.docs)
     print(json.dumps(res))
     ray.shutdown()
 
