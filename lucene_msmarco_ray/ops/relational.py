@@ -98,7 +98,7 @@ def group_distinct_count(ds, group_cols, value_col: str,
     already-unique-per-block pairs → batch-local partial counts → a tiny
     (group) exchange summing them.
     """
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     group_cols = list(group_cols)
     keys = group_cols + [value_col]
@@ -117,8 +117,14 @@ def group_distinct_count(ds, group_cols, value_col: str,
         cols[output_col] = batch["sum(__n)"].cast(pa.int64())
         return pa.table(cols)
 
-    pairs = (ds.map_batches(local_dedup, batch_format="pyarrow")
-             .groupby(keys).aggregate(Count()))
+    # the cross-block distinct is a coarse fold, not groupby().aggregate:
+    # (group, value) cardinality scales with the data (ops/fold.py); the
+    # per-GROUP sum below stays on aggregate — its merge rows are bounded
+    # by blocks × groups after partial_counts pre-reduces each block
+    from .fold import coarse_group_agg
+    pairs = coarse_group_agg(ds.map_batches(local_dedup,
+                                            batch_format="pyarrow"),
+                             keys, [("__dup", value_col, "size")])
     return (pairs.map_batches(partial_counts, batch_format="pyarrow")
             .groupby(group_cols).aggregate(Sum("__n"))
             .map_batches(finish, batch_format="pyarrow"))
