@@ -2404,6 +2404,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a) module changed since last driver-green row —
         # ops/events.py funnel fix (last green r3, crashed r4 verdict):
         "funnel": funnel_gate,
+        # ops/fold.py coarse-fold conversion (late r5) touched
+        # dedup/curate/relational/events/join — their gates lead
+        # the window so the driver adjudicates the changed code:
+        "dedup_exact": dedup_exact,
+        "curate_corpus": curate,
+        "dedup_components": dedup_components_gate,
+        "dedup_components_dist": dedup_components_dist_gate,
+        "neardup_filter": neardup_filter_gate,
+        "sessionize_chunked": sessionize_chunked_gate,
+        "rrf_fuse": rrf_fuse_gate,
+        "scorer_fusion": scorer_fusion_gate,
+        "group_distinct": group_distinct_gate,
+        "topk_per_group": topk_per_group_gate,
+        "pmi_colloc": pmi_colloc,
         # ops/textstats.py + ops/vocab_join.py: broadcast-vs-join
         # refactor of the LM / tf-idf family (r5):
         "tfidf_keywords": tfidf_keywords_gate,
@@ -2427,10 +2441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (c) unchanged gates, oldest driver row first; r4-green ones
         # trail. First: the r4-window block (green r4).
         "asof_join": asof_join_gate,
-        "sessionize_chunked": sessionize_chunked_gate,
         "sliding_window": sliding_window_gate,
-        "topk_per_group": topk_per_group_gate,
-        "group_distinct": group_distinct_gate,
         "hash_sample": hash_sample_gate,
         "stratified_sample": stratified_sample_gate,
         "hash_split": hash_split_gate,
@@ -2472,11 +2483,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lmdir_topk": lmdir_topk,
         "eval_metrics": eval_metrics,
         "rel_annotate": rel_annotate,
-        "dedup_exact": dedup_exact,
-        "curate_corpus": curate,
-        "neardup_filter": neardup_filter_gate,
-        "dedup_components": dedup_components_gate,
-        "dedup_components_dist": dedup_components_dist_gate,
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash,
         "ngram_jaccard": ngram_jacc,
@@ -2490,9 +2496,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": cohort_retention_gate,
         "minmax_norm": minmax_norm,
         "token_count": tok_count,
-        "pmi_colloc": pmi_colloc,
-        "rrf_fuse": rrf_fuse_gate,
-        "scorer_fusion": scorer_fusion_gate,
         "normalize_text": normalize_text_gate,
         "heavy_hitters": heavy_hitters_gate,
         "chunk_boundaries": chunk_boundaries_gate,
